@@ -1,0 +1,204 @@
+"""Efficient U-Net denoiser (flax.linen, NHWC, TPU-native).
+
+Re-design of the reference EfficientUNet (models/efficient_unet.py:188-295):
+the Imagen "Efficient U-Net" with LiDAR modifications — circular ("ring")
+horizontal padding everywhere, AdaGN timestep conditioning, self-attention
+only at the 8x128 bottleneck, concat skip connections, zero-init output
+convs, 1/sqrt(2) residual scaling, and a spatial coordinate encoding
+concatenated to the input.
+
+TPU-first choices:
+  - NHWC layout; convs via lax.conv_general_dilated (MXU).
+  - compute dtype configurable (bf16 by default under the trainer) with
+    fp32 GroupNorm statistics and fp32 params.
+  - FIR up/down-sampling lowered to single dilated/strided convs
+    (see ops/resample.py).
+  - the per-pixel coordinate grid lives in the 'buffers' variable
+    collection (the analogue of the reference's ``register_buffer``), so the
+    encoding constant-folds at jit time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import encoding as enc
+from ..ops.resample import downsample2x, upsample2x
+from .layers import ResidualBlock, RingConv, SelfAttentionBlock
+
+Dtype = Any
+
+
+class TimeEmbedding(nn.Module):
+    """Sinusoidal embedding -> Linear -> SiLU -> Linear.
+
+    Matches reference models/efficient_unet.py:232-237 (ops.py:14-29).
+    """
+
+    base_channels: int
+    temb_channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        h = enc.timestep_embedding(t, self.base_channels)
+        h = nn.Dense(self.temb_channels, dtype=self.dtype, name="dense1")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.temb_channels, dtype=self.dtype, name="dense2")(h)
+        return h
+
+
+class UNetBlock(nn.Module):
+    """One U-Net level: [down] -> resblocks -> [attn] -> [up].
+
+    Matches reference Block (models/efficient_unet.py:113-185).
+    """
+
+    out_channels: int
+    num_residual_blocks: int
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    attn: bool = False
+    attn_num_heads: int = 8
+    up: int = 1
+    down: int = 1
+    dropout: float = 0.0
+    ring: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if self.down > 1:
+            h = RingConv(
+                self.out_channels, ring=self.ring, dtype=self.dtype, name="down_conv"
+            )(h)
+            h = downsample2x(h, ring=self.ring)
+        for i in range(self.num_residual_blocks):
+            h = ResidualBlock(
+                out_channels=self.out_channels,
+                gn_num_groups=self.gn_num_groups,
+                gn_eps=self.gn_eps,
+                dropout=self.dropout,
+                ring=self.ring,
+                dtype=self.dtype,
+                name=f"res{i}",
+            )(h, temb)
+        if self.attn:
+            h = SelfAttentionBlock(
+                num_heads=self.attn_num_heads,
+                gn_num_groups=self.gn_num_groups,
+                gn_eps=self.gn_eps,
+                dtype=self.dtype,
+                name="attn",
+            )(h)
+        if self.up > 1:
+            h = upsample2x(h, ring=self.ring)
+            h = RingConv(
+                self.out_channels, ring=self.ring, dtype=self.dtype, name="up_conv"
+            )(h)
+        return h
+
+
+class EfficientUNet(nn.Module):
+    """The flagship denoiser. __call__(images NHWC, timesteps (B,)) -> NHWC."""
+
+    in_channels: int = 2
+    resolution: tuple[int, int] = (64, 1024)
+    out_channels: Optional[int] = None
+    base_channels: int = 64
+    temb_channels: Optional[int] = None
+    channel_multiplier: Sequence[int] = (1, 2, 4, 8)
+    num_residual_blocks: Sequence[int] = (3, 3, 3, 3)
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    attn_num_heads: int = 8
+    coords_encoding: Optional[str] = "fourier_features"
+    dropout: float = 0.0
+    ring: bool = True
+    dtype: Optional[Dtype] = None
+
+    def coords_channels(self) -> int:
+        if self.coords_encoding == "spherical_harmonics":
+            return 25
+        if self.coords_encoding == "polar_coordinates":
+            return 2
+        if self.coords_encoding == "fourier_features":
+            return enc.fourier_features_channels(tuple(self.resolution))
+        return 0
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
+        B = images.shape[0]
+        temb_ch = (
+            self.base_channels * 4 if self.temb_channels is None else self.temb_channels
+        )
+        h = images
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (B,))
+        temb = TimeEmbedding(
+            self.base_channels, temb_ch, dtype=self.dtype, name="time_embedding"
+        )(timesteps)
+
+        # spatial coordinate buffer, (H, W, 2): defaults to the polar grid
+        # (reference models/efficient_unet.py:218-219); overridden with the
+        # sensor ray angles by the trainer (reference train.py:100-107).
+        coords = self.variable(
+            "buffers",
+            "coords",
+            lambda: jnp.asarray(enc.generate_polar_coords(*self.resolution)),
+        ).value
+        if self.coords_encoding == "spherical_harmonics":
+            cenc = enc.spherical_harmonics(coords, levels=5)
+        elif self.coords_encoding == "polar_coordinates":
+            cenc = coords
+        elif self.coords_encoding == "fourier_features":
+            freqs = jnp.asarray(
+                enc.fourier_feature_frequencies(tuple(self.resolution))
+            )
+            cenc = enc.fourier_features(coords, freqs)
+        elif self.coords_encoding is None:
+            cenc = None
+        else:
+            raise ValueError(f"unknown coords_encoding: {self.coords_encoding}")
+        if cenc is not None:
+            cenc = jnp.broadcast_to(cenc[None], (B, *cenc.shape)).astype(h.dtype)
+            h = jnp.concatenate([h, cenc], axis=-1)
+
+        C = [self.base_channels] + [
+            self.base_channels * m for m in self.channel_multiplier
+        ]
+        N = tuple(self.num_residual_blocks)
+        cfg = dict(
+            gn_num_groups=self.gn_num_groups,
+            gn_eps=self.gn_eps,
+            attn_num_heads=self.attn_num_heads,
+            dropout=self.dropout,
+            ring=self.ring,
+            dtype=self.dtype,
+        )
+
+        h = RingConv(C[0], ring=self.ring, dtype=self.dtype, name="in_conv")(h)
+        h1 = UNetBlock(C[1], N[0], name="d_block1", **cfg)(h, temb)
+        h2 = UNetBlock(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb)
+        h3 = UNetBlock(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb)
+        h4 = UNetBlock(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb)
+        h = UNetBlock(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb)
+        h = UNetBlock(C[2], N[2], up=2, name="u_block3", **cfg)(
+            jnp.concatenate([h, h3], axis=-1), temb
+        )
+        h = UNetBlock(C[1], N[1], up=2, name="u_block2", **cfg)(
+            jnp.concatenate([h, h2], axis=-1), temb
+        )
+        h = UNetBlock(C[0], N[0], name="u_block1", **cfg)(
+            jnp.concatenate([h, h1], axis=-1), temb
+        )
+        out_ch = self.in_channels if self.out_channels is None else self.out_channels
+        h = RingConv(
+            out_ch, ring=self.ring, zero_init=True, dtype=self.dtype, name="out_conv"
+        )(h)
+        return h.astype(jnp.float32)

@@ -1,0 +1,237 @@
+"""NN building blocks for the denoiser networks (flax.linen, NHWC).
+
+TPU-first re-design of the reference blocks (models/ops.py, parts of
+models/efficient_unet.py): channels-last layout, bf16-friendly compute with
+fp32 normalization statistics, and padding expressed so XLA fuses it into the
+convolution. Parameter tree names mirror the reference module names so torch
+checkpoints map mechanically (see utils/torch_import.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pad import ring_pad
+
+Dtype = Any
+
+
+class RingConv(nn.Module):
+    """3x3 (or any) conv with circular W / zero H padding.
+
+    Equivalent to reference ops.Conv2d (models/ops.py:149-173).
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    stride: int = 1
+    padding: int = 1
+    ring: bool = True
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.padding:
+            x = ring_pad(x, self.padding, ring=self.ring)
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        bias_init = nn.initializers.zeros
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.stride,
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    eps: float,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """GroupNorm over (H, W, C//G) per group with fp32 statistics.
+
+    Matches torch nn.GroupNorm semantics on NCHW (stats over C//G*H*W).
+    Computed in fp32 regardless of input dtype (TPU numerics), result cast
+    back to the input dtype.
+    """
+    B, H, W, C = x.shape
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    xf = xf.reshape(B, H, W, C)
+    if scale is not None:
+        xf = xf * scale.astype(jnp.float32)
+    if bias is not None:
+        xf = xf + bias.astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    """Affine GroupNorm (torch nn.GroupNorm parity)."""
+
+    num_groups: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return group_norm(x, self.num_groups, self.eps, scale, bias)
+
+
+class AdaGN(nn.Module):
+    """Adaptive GroupNorm: affine params predicted from the time embedding.
+
+    Matches reference ops.AdaGN (models/ops.py:176-200): non-affine GN, then
+    h * (1 + scale) + shift with (scale, shift) = Linear(SiLU(emb)).
+    """
+
+    num_groups: int
+    eps: float = 1e-6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        h = group_norm(x, self.num_groups, self.eps)
+        ss = nn.Dense(2 * C, dtype=self.dtype, name="proj")(nn.silu(emb))
+        scale, shift = jnp.split(ss, 2, axis=-1)
+        scale = scale[:, None, None, :].astype(h.dtype)
+        shift = shift[:, None, None, :].astype(h.dtype)
+        return h * (1 + scale) + shift
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention over the (H*W) token grid.
+
+    Math-parity with torch nn.MultiheadAttention (batch_first): packed
+    qkv projection, scaled dot-product with 1/sqrt(head_dim), output
+    projection (zero-initialized per reference models/efficient_unet.py:39).
+    At the 8x128 bottleneck this is 1024 tokens; XLA's fused attention is
+    already near-roofline at this size.
+    """
+
+    num_heads: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        h = x.reshape(B, H * W, C)
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * C)
+        )
+        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
+        qkv = h @ qkv_kernel.astype(h.dtype) + qkv_bias.astype(h.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = C // self.num_heads
+
+        def heads(t):
+            return t.reshape(B, H * W, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        weights = nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+        out = nn.Dense(
+            C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="out_proj"
+        )(out)
+        return out.reshape(B, H, W, C)
+
+
+class SelfAttentionBlock(nn.Module):
+    """Pre-norm attention with (x + attn(norm(x))) * 1/sqrt(2) residual.
+
+    Matches reference SelfAttentionBlock (models/efficient_unet.py:23-53).
+    """
+
+    num_heads: int
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    scale: float = float(1 / np.sqrt(2))
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = GroupNorm(self.gn_num_groups, self.gn_eps, name="norm")(x)
+        h = SelfAttention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        return (x + h) * jnp.asarray(self.scale, x.dtype)
+
+
+class ResidualBlock(nn.Module):
+    """GN-SiLU-Conv x2 residual block with AdaGN time conditioning.
+
+    Matches reference ResidualBlock (models/efficient_unet.py:56-110):
+    zero-initialized second conv, 1x1 skip when channels change, and the
+    (skip + residual) * 1/sqrt(2) scaling.
+    """
+
+    out_channels: int
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    scale: float = float(1 / np.sqrt(2))
+    dropout: float = 0.0
+    ring: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        emb: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.gn_num_groups, self.gn_eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = RingConv(
+            self.out_channels, ring=self.ring, dtype=self.dtype, name="conv1"
+        )(h)
+        if emb is not None:
+            h = AdaGN(self.gn_num_groups, self.gn_eps, dtype=self.dtype, name="norm2")(
+                h, emb
+            )
+        else:
+            h = GroupNorm(self.gn_num_groups, self.gn_eps, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = RingConv(
+            self.out_channels,
+            ring=self.ring,
+            zero_init=True,
+            dtype=self.dtype,
+            name="conv2",
+        )(h)
+        if in_channels != self.out_channels:
+            skip = RingConv(
+                self.out_channels,
+                kernel_size=(1, 1),
+                padding=0,
+                dtype=self.dtype,
+                name="skip",
+            )(x)
+        else:
+            skip = x
+        return (skip + h) * jnp.asarray(self.scale, h.dtype)

@@ -1,0 +1,198 @@
+"""Torch checkpoint import shim.
+
+Converts reference (kazuto1011/r2dm) torch ``state_dict``s into our flax
+variable trees so published checkpoints (e.g. ``r2dm-h-kitti360-300k``,
+hubconf.py:17-21) load for parity testing and inference.
+
+Key conventions translated (reference module names -> our flax tree):
+  model.time_embedding.{1,3}          -> time_embedding.dense{1,2}
+  model.in_conv / out_conv            -> in_conv.conv / out_conv.conv
+  model.{d,u}_blockN.downsample.0     -> {d,u}_blockN.down_conv.conv
+  model.{d,u}_blockN.residual_blocks.i-> {d,u}_blockN.res{i}.*
+  model.*.self_attn_block.attn        -> *.attn.attn (packed qkv)
+  model.{d,u}_blockN.upsample.1       -> {d,u}_blockN.up_conv.conv
+  model.coords (1,2,H,W)              -> buffers coords (H,W,2)
+Weight layout: torch conv OIHW -> HWIO; linear (O,I) -> (I,O).
+
+Dropped keys: registered constants the reference stores as buffers but we
+recompute (resample FIR kernels, residual ``scale``, ``_dummy``, discrete
+beta tables).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+_DROP = re.compile(
+    r"(\.scale$|^_dummy$|^beta$|^alpha_bar$|^alpha_bar_prev$|^snr$"
+    r"|downsample\.1\.kernel$|upsample\.0\.kernel$|\.initted$|\.step$"
+    r"|coords_encoding\.(freqs|phase)$)"
+)
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _conv(sd_w: np.ndarray) -> np.ndarray:
+    return np.transpose(sd_w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _lin(sd_w: np.ndarray) -> np.ndarray:
+    return np.transpose(sd_w, (1, 0))  # (O,I) -> (I,O)
+
+
+def convert_unet_state_dict(
+    sd: Mapping[str, np.ndarray],
+) -> tuple[dict, dict]:
+    """Reference EfficientUNet state_dict -> (params, buffers) flax trees.
+
+    Accepts keys with or without the ``model.`` prefix used by the diffusion
+    wrapper's state_dict (train.py:294-304).
+    """
+    params: dict = {}
+    buffers: dict = {}
+    pending_qkv: dict[str, dict[str, np.ndarray]] = {}
+
+    for key, raw in sd.items():
+        k = key[6:] if key.startswith("model.") else key
+        if _DROP.search(k):
+            continue
+        v = np.asarray(raw, dtype=np.float32)
+
+        if k == "coords":
+            buffers["coords"] = np.transpose(v[0], (1, 2, 0))  # (1,2,H,W)->(H,W,2)
+            continue
+
+        m = re.match(r"time_embedding\.(\d)\.(weight|bias)", k)
+        if m:
+            dense = {"1": "dense1", "3": "dense2"}[m.group(1)]
+            if m.group(2) == "weight":
+                _set(params, ["time_embedding", dense, "kernel"], _lin(v))
+            else:
+                _set(params, ["time_embedding", dense, "bias"], v)
+            continue
+
+        m = re.match(r"(in_conv|out_conv)\.(weight|bias)", k)
+        if m:
+            name, wb = m.groups()
+            if wb == "weight":
+                _set(params, [name, "conv", "kernel"], _conv(v))
+            else:
+                _set(params, [name, "conv", "bias"], v)
+            continue
+
+        m = re.match(r"([du]_block\d)\.(.*)", k)
+        if m:
+            block, rest = m.groups()
+
+            mm = re.match(r"downsample\.0\.(weight|bias)", rest)
+            if mm:
+                leaf = "kernel" if mm.group(1) == "weight" else "bias"
+                val = _conv(v) if leaf == "kernel" else v
+                _set(params, [block, "down_conv", "conv", leaf], val)
+                continue
+            mm = re.match(r"upsample\.1\.(weight|bias)", rest)
+            if mm:
+                leaf = "kernel" if mm.group(1) == "weight" else "bias"
+                val = _conv(v) if leaf == "kernel" else v
+                _set(params, [block, "up_conv", "conv", leaf], val)
+                continue
+
+            mm = re.match(
+                r"residual_blocks\.(\d+)\.(norm1|norm2|conv1|conv2|skip)"
+                r"(?:\.proj\.1)?\.(weight|bias)",
+                rest,
+            )
+            if mm:
+                i, sub, wb = mm.groups()
+                res = f"res{i}"
+                if sub in ("conv1", "conv2", "skip"):
+                    leaf = "kernel" if wb == "weight" else "bias"
+                    val = _conv(v) if leaf == "kernel" else v
+                    _set(params, [block, res, sub, "conv", leaf], val)
+                elif sub == "norm1":
+                    leaf = "scale" if wb == "weight" else "bias"
+                    _set(params, [block, res, "norm1", leaf], v)
+                elif sub == "norm2":
+                    if "proj.1" in rest:  # AdaGN projection Linear
+                        leaf = "kernel" if wb == "weight" else "bias"
+                        val = _lin(v) if leaf == "kernel" else v
+                        _set(params, [block, res, "norm2", "proj", leaf], val)
+                    else:  # plain GroupNorm (no-emb variant)
+                        leaf = "scale" if wb == "weight" else "bias"
+                        _set(params, [block, res, "norm2", leaf], v)
+                continue
+
+            mm = re.match(r"self_attn_block\.norm\.(weight|bias)", rest)
+            if mm:
+                leaf = "scale" if mm.group(1) == "weight" else "bias"
+                _set(params, [block, "attn", "norm", leaf], v)
+                continue
+
+            mm = re.match(r"self_attn_block\.attn\.(.*)", rest)
+            if mm:
+                sub = mm.group(1)
+                slot = pending_qkv.setdefault(block, {})
+                if sub == "in_proj_weight":
+                    slot["qkv_kernel"] = _lin(v)
+                elif sub == "in_proj_bias":
+                    slot["qkv_bias"] = v
+                elif sub == "out_proj.weight":
+                    _set(params, [block, "attn", "attn", "out_proj", "kernel"], _lin(v))
+                elif sub == "out_proj.bias":
+                    _set(params, [block, "attn", "attn", "out_proj", "bias"], v)
+                continue
+
+            raise KeyError(f"unhandled reference key: {key}")
+        raise KeyError(f"unhandled reference key: {key}")
+
+    for block, slot in pending_qkv.items():
+        for leaf, val in slot.items():
+            _set(params, [block, "attn", "attn", leaf], val)
+
+    return params, buffers
+
+
+def load_torch_checkpoint(path: str) -> dict[str, Any]:
+    """Read a reference .pth checkpoint into plain numpy/python objects.
+
+    Uses torch (CPU) when available; the result has the reference layout
+    {cfg, weights, ema_weights, optimizer, lr_scheduler, global_step}
+    (train.py:294-304) with tensors as numpy arrays.
+    """
+    import torch  # local import: only needed on the import path
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(x):
+        if isinstance(x, torch.Tensor):
+            return x.detach().cpu().numpy()
+        if isinstance(x, dict):
+            return {k: to_np(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return type(x)(to_np(v) for v in x)
+        return x
+
+    return to_np(ckpt)
+
+
+def variables_from_reference(
+    state_dict: Mapping[str, np.ndarray],
+) -> dict:
+    """Build a flax ``variables`` dict {'params':…, 'buffers':…} from a
+    reference EfficientUNet/ddpm state_dict."""
+    import jax.numpy as jnp
+    import jax
+
+    params, buffers = convert_unet_state_dict(state_dict)
+    variables = {"params": params}
+    if buffers:
+        variables["buffers"] = buffers
+    return jax.tree.map(jnp.asarray, variables)

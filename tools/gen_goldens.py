@@ -1,0 +1,338 @@
+"""Generate golden test fixtures by running the REFERENCE implementation
+(/root/reference, torch CPU) as a numerical oracle.
+
+This script does not copy reference code — it imports the reference package
+read-only, feeds it fixed random inputs, and captures outputs into
+tests/golden/*.npz. The test suite then checks our JAX implementation against
+these captured tensors with fp32 tolerances (the parity strategy required by
+BASELINE.md "API parity" and SURVEY.md §4).
+
+Run from the repo root:  python tools/gen_goldens.py
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REF = "/root/reference"
+OUT = Path(__file__).resolve().parent.parent / "tests" / "golden"
+OUT.mkdir(parents=True, exist_ok=True)
+
+sys.path.insert(0, REF)
+
+torch.manual_seed(0)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def save(name, **arrays):
+    np.savez_compressed(OUT / f"{name}.npz", **arrays)
+    total = sum(a.nbytes for a in arrays.values())
+    print(f"{name}: {len(arrays)} arrays, {total/1e3:.1f} kB")
+
+
+# ---------------------------------------------------------------- ops.Resample
+def gen_resample():
+    from models.ops import Resample
+
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((2, 3, 8, 16)).astype(np.float32)
+    out = {"x": x}
+    cases = [
+        ("down2", dict(down=2, ring=True)),
+        ("up2", dict(up=2, ring=True)),
+        ("down2_noring", dict(down=2, ring=False)),
+        ("up2_noring", dict(up=2, ring=False)),
+        ("up2_h", dict(up=2, ring=True, direction="h")),
+        ("down2_w", dict(down=2, ring=True, direction="w")),
+        ("up4", dict(up=4, ring=True)),
+        ("down4", dict(down=4, ring=True)),
+    ]
+    for name, kw in cases:
+        mod = Resample(**kw)
+        out[name] = t2n(mod(torch.from_numpy(x)))
+    save("resample", **out)
+
+
+# ---------------------------------------------------------------- ops misc
+def gen_ops_misc():
+    from models.ops import AdaGN, Conv2d, Pad, SinusoidalPositionalEmbedding
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 6, 8, 16)).astype(np.float32)
+    emb = rng.standard_normal((2, 12)).astype(np.float32)
+    t = np.array([0.0, 0.25, 1.0, 977.0], dtype=np.float32)
+
+    pad = Pad(2, ring=True)
+    conv = Conv2d(6, 10, 3, 1, 1, ring=True)
+    adagn = AdaGN(emb_channels=12, out_channels=6, num_groups=3)
+    spe = SinusoidalPositionalEmbedding(16)
+
+    save(
+        "ops_misc",
+        x=x,
+        emb=emb,
+        t=t,
+        pad_out=t2n(pad(torch.from_numpy(x))),
+        conv_w=t2n(conv.weight),
+        conv_b=t2n(conv.bias),
+        conv_out=t2n(conv(torch.from_numpy(x))),
+        adagn_w=t2n(adagn.proj[1].weight),
+        adagn_b=t2n(adagn.proj[1].bias),
+        adagn_out=t2n(adagn(torch.from_numpy(x), torch.from_numpy(emb))),
+        spe_out=t2n(spe(torch.from_numpy(t))),
+    )
+
+
+# ---------------------------------------------------------------- encodings
+def gen_encodings():
+    from models.encoding import (
+        FourierFeatures,
+        SphericalHarmonics,
+        generate_polar_coords,
+    )
+    from utils.lidar import get_hdl64e_linear_ray_angles
+
+    coords = generate_polar_coords(16, 64)
+    sh = SphericalHarmonics(levels=5)
+    ff = FourierFeatures((16, 64))
+    angles = get_hdl64e_linear_ray_angles(16, 64)
+    save(
+        "encodings",
+        coords=t2n(coords),
+        hdl64e=t2n(angles),
+        sh_out=t2n(sh(coords)),
+        ff_out=t2n(ff(coords)),
+        ff_freqs=t2n(ff.freqs),
+    )
+
+
+# ---------------------------------------------------------------- schedules
+def gen_schedules():
+    from models.diffusion.continuous_time import (
+        _log_snr_schedule_cosine,
+        _log_snr_schedule_cosine_interpolated,
+        _log_snr_schedule_cosine_shifted,
+        _log_snr_schedule_linear,
+        _log_snr_to_alpha_sigma,
+    )
+    from models.diffusion.discrete_time import (
+        _cosine_beta_schedule,
+        _linear_beta_schedule,
+        _sigmoid_beta_schedule,
+    )
+
+    t = torch.linspace(0, 1, 257, dtype=torch.float32)
+    lin = _log_snr_schedule_linear(t)[:, 0, 0, 0]
+    cos = _log_snr_schedule_cosine(t)[:, 0, 0, 0]
+    cos_sh = _log_snr_schedule_cosine_shifted(t, image_d=64, noise_d=32)[:, 0, 0, 0]
+    cos_in = _log_snr_schedule_cosine_interpolated(
+        t, image_d=64, noise_d_low=32, noise_d_high=128
+    )[:, 0, 0, 0]
+    alpha, sigma = _log_snr_to_alpha_sigma(cos)
+    save(
+        "schedules",
+        t=t2n(t),
+        logsnr_linear=t2n(lin),
+        logsnr_cosine=t2n(cos),
+        logsnr_cosine_shifted=t2n(cos_sh),
+        logsnr_cosine_interpolated=t2n(cos_in),
+        alpha=t2n(alpha),
+        sigma=t2n(sigma),
+        beta_linear=t2n(_linear_beta_schedule(1000).float()),
+        beta_cosine=t2n(_cosine_beta_schedule(1000).float()),
+        beta_sigmoid=t2n(_sigmoid_beta_schedule(1000).float()),
+    )
+
+
+# ---------------------------------------------------------------- lidar utils
+def gen_lidar():
+    from utils.lidar import LiDARUtility
+
+    rng = np.random.default_rng(3)
+    metric = (rng.uniform(0, 85, (2, 1, 16, 64))).astype(np.float32)
+    out = {"metric": metric}
+    for fmt in ["log_depth", "inverse_depth", "depth"]:
+        util = LiDARUtility((16, 64), fmt, 1.45, 80.0)
+        m = torch.from_numpy(metric)
+        converted = util.convert_depth(m)
+        out[f"{fmt}_converted"] = t2n(converted)
+        out[f"{fmt}_reverted"] = t2n(util.revert_depth(converted))
+        if fmt == "log_depth":
+            out["xyz"] = t2n(util.to_xyz(m))
+            out["ray_angles"] = t2n(util.ray_angles)
+            out["mask"] = t2n(util.get_mask(m))
+    save("lidar", **out)
+
+
+# ---------------------------------------------------------------- tiny U-Net
+TINY = dict(
+    in_channels=2,
+    resolution=(16, 64),
+    base_channels=16,
+    temb_channels=None,
+    channel_multiplier=(1, 2, 4, 8),
+    num_residual_blocks=(1, 1, 1, 1),
+    gn_num_groups=4,
+    gn_eps=1e-6,
+    attn_num_heads=4,
+    ring=True,
+)
+
+
+def _randomize(model):
+    """Re-init all parameters AND buffers randomly (but reproducibly) so
+    zero-initialized layers also get exercised."""
+    g = torch.Generator().manual_seed(1234)
+    param_names = {n for n, _ in model.named_parameters()}
+    sd = model.state_dict()
+    for k, v in sd.items():
+        # only true parameters: buffers (coords, FIR kernels, fourier freqs,
+        # residual scales) are deterministic constants we recompute
+        if k in param_names and v.dtype.is_floating_point:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    model.load_state_dict(sd)
+    return model
+
+
+def gen_tiny_unet():
+    from models.efficient_unet import EfficientUNet
+
+    for cenc in ["fourier_features", "spherical_harmonics", "polar_coordinates"]:
+        net = EfficientUNet(coords_encoding=cenc, **TINY)
+        net = _randomize(net)
+        net.eval()
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 2, 16, 64)).astype(np.float32)
+        t = np.array([-3.7, 11.2], dtype=np.float32)  # logSNR-style conditions
+        with torch.no_grad():
+            y = net(torch.from_numpy(x), torch.from_numpy(t))
+        sd = {k: t2n(v) for k, v in net.state_dict().items()}
+        save(
+            f"tiny_unet_{cenc}",
+            x=x,
+            t=t,
+            y=t2n(y),
+            **{f"sd::{k}": v for k, v in sd.items()},
+        )
+
+
+# ---------------------------------------------------------------- tiny diffusion
+def gen_tiny_diffusion():
+    from models.diffusion import (
+        ContinuousTimeGaussianDiffusion,
+        DiscreteTimeGaussianDiffusion,
+    )
+    from models.efficient_unet import EfficientUNet
+
+    net = EfficientUNet(coords_encoding="fourier_features", **TINY)
+    net = _randomize(net)
+    ddpm = ContinuousTimeGaussianDiffusion(
+        model=net, prediction_type="eps", noise_schedule="cosine"
+    )
+    ddpm.eval()
+    rng = np.random.default_rng(11)
+    x_t = rng.standard_normal((2, 2, 16, 64)).astype(np.float32)
+    step_t = np.array([0.8, 0.5], dtype=np.float32)
+    step_s = np.array([0.7, 0.4], dtype=np.float32)
+    # p_step with deterministic noise: monkeypatch randn_like to zeros to make
+    # the DDPM mean capturable, plus DDIM (eta=0, deterministic anyway)
+    ddpm.randn_like = lambda x, rng=None: torch.zeros_like(x)
+    with torch.no_grad():
+        ddpm_mean = ddpm.p_step(
+            torch.from_numpy(x_t),
+            torch.from_numpy(step_t),
+            torch.from_numpy(step_s),
+            mode="ddpm",
+        )
+        ddim_out = ddpm.p_step(
+            torch.from_numpy(x_t),
+            torch.from_numpy(step_t),
+            torch.from_numpy(step_s),
+            mode="ddim",
+        )
+    # loss with fixed noise: patch randn_like used by q_step_from_x_0
+    noise = rng.standard_normal((2, 2, 16, 64)).astype(np.float32)
+    ddpm.randn_like = lambda x, rng=None: torch.from_numpy(noise).to(x)
+    with torch.no_grad():
+        loss = ddpm.p_loss(torch.from_numpy(x_t), torch.from_numpy(step_t))
+    sd = {k: t2n(v) for k, v in net.state_dict().items()}
+    save(
+        "tiny_diffusion_continuous",
+        x_t=x_t,
+        step_t=step_t,
+        step_s=step_s,
+        ddpm_mean=t2n(ddpm_mean),
+        ddim_out=t2n(ddim_out),
+        noise=noise,
+        loss=np.array(float(loss)),
+        **{f"sd::{k}": v for k, v in sd.items()},
+    )
+
+    ddpm_d = DiscreteTimeGaussianDiffusion(
+        model=net,
+        prediction_type="eps",
+        noise_schedule="cosine",
+        num_training_steps=64,
+    )
+    ddpm_d.eval()
+    steps = np.array([5, 33], dtype=np.int64)
+    ddpm_d.randn_like = lambda x, rng=None: torch.zeros_like(x)
+    with torch.no_grad():
+        d_ddpm_mean = ddpm_d.p_step(
+            torch.from_numpy(x_t), torch.from_numpy(steps), mode="ddpm"
+        )
+        d_ddim = ddpm_d.p_step(
+            torch.from_numpy(x_t), torch.from_numpy(steps), mode="ddim"
+        )
+    ddpm_d.randn_like = lambda x, rng=None: torch.from_numpy(noise).to(x)
+    with torch.no_grad():
+        d_loss = ddpm_d.p_loss(torch.from_numpy(x_t), torch.from_numpy(steps))
+    save(
+        "tiny_diffusion_discrete",
+        x_t=x_t,
+        steps=steps,
+        ddpm_mean=t2n(d_ddpm_mean),
+        ddim_out=t2n(d_ddim),
+        noise=noise,
+        loss=np.array(float(d_loss)),
+    )
+
+
+# ---------------------------------------------------------------- refinenet
+def gen_tiny_refinenet():
+    from models.refinenet import LiDARGenRefineNet
+
+    net = LiDARGenRefineNet(
+        in_channels=2, resolution=(16, 64), base_channels=8,
+        channel_multiplier=(1, 2, 2, 2),
+    )
+    net = _randomize(net)
+    net.eval()
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 2, 16, 64)).astype(np.float32)
+    with torch.no_grad():
+        y = net(torch.from_numpy(x), None)
+    sd = {k: t2n(v) for k, v in net.state_dict().items()}
+    save(
+        "tiny_refinenet",
+        x=x,
+        y=t2n(y),
+        **{f"sd::{k}": v for k, v in sd.items()},
+    )
+
+
+if __name__ == "__main__":
+    gen_resample()
+    gen_ops_misc()
+    gen_encodings()
+    gen_schedules()
+    gen_lidar()
+    gen_tiny_unet()
+    gen_tiny_diffusion()
+    gen_tiny_refinenet()
+    print("done ->", OUT)

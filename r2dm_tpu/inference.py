@@ -1,0 +1,316 @@
+"""Model construction + checkpoint loading + the user-facing DDPM wrapper.
+
+Mirrors the reference ``utils/inference.py:16-114`` (setup_model) and the
+torch.hub surface (``hubconf.py:21-37``): rebuild the network from the config
+embedded in a checkpoint, load EMA weights, and hand back a ready-to-sample
+model plus a matching LiDARUtility.
+
+The :class:`DDPM` wrapper binds (diffusion process, variables) and exposes
+``sample / repaint / loss`` with jit caching — the sampling chain compiles to
+a single XLA program per (batch_size, num_steps, mode) signature. The public
+array layout is NCHW to match the reference API (README.md:22-34); computation
+is NHWC inside.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as config_lib
+from .diffusion import (
+    ContinuousTimeGaussianDiffusion,
+    DiscreteTimeGaussianDiffusion,
+    key_batch_from_seeds,
+)
+from .lidar import LiDARUtility
+from .models.efficient_unet import EfficientUNet
+from .ops.encoding import get_hdl64e_linear_ray_angles
+
+
+def count_parameters(variables) -> int:
+    """Total parameter count (reference utils/inference.py:109-110)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def build_model(cfg: config_lib.Config, dtype: Any = None):
+    """Construct the denoiser network from a Config (reference
+    utils/inference.py:38-58, train.py:76-89)."""
+    resolution = tuple(cfg.data.resolution)
+    in_channels = int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
+    if cfg.model.architecture == "efficient_unet":
+        return EfficientUNet(
+            in_channels=in_channels,
+            resolution=resolution,
+            base_channels=cfg.model.base_channels,
+            temb_channels=cfg.model.temb_channels,
+            channel_multiplier=tuple(cfg.model.channel_multiplier),
+            num_residual_blocks=tuple(cfg.model.num_residual_blocks),
+            gn_num_groups=cfg.model.gn_num_groups,
+            gn_eps=cfg.model.gn_eps,
+            attn_num_heads=cfg.model.attn_num_heads,
+            coords_encoding=cfg.model.coords_encoding,
+            dropout=cfg.model.dropout,
+            ring=True,
+            dtype=dtype,
+        )
+    if cfg.model.architecture == "refinenet":
+        from .models.refinenet import LiDARGenRefineNet
+
+        return LiDARGenRefineNet(
+            in_channels=in_channels,
+            resolution=resolution,
+            base_channels=cfg.model.base_channels,
+            channel_multiplier=tuple(cfg.model.channel_multiplier),
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown architecture: {cfg.model.architecture}")
+
+
+def model_coords(cfg: config_lib.Config) -> np.ndarray:
+    """Spatial coordinate grid for the model buffer, (H, W, 2).
+
+    Reference train.py:100-107: spherical projection -> HDL-64E linear ray
+    angles at the training resolution; unfolding -> measured per-pixel angle
+    table (produced by tools/make_unfolding_angles.py from raw scans).
+    """
+    resolution = tuple(cfg.data.resolution)
+    if cfg.data.projection.startswith("spherical"):
+        return get_hdl64e_linear_ray_angles(*resolution)
+    if cfg.data.projection.startswith("unfolding"):
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "angles",
+            f"{cfg.data.dataset}_unfolding_angles.npz",
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"unfolding angle table not found at {path}; generate it with "
+                "tools/make_unfolding_angles.py (requires the raw dataset)"
+            )
+        table = np.load(path)["angles"].astype(np.float32)  # (H, W, 2)
+        from .lidar import nearest_exact_resize_hw
+
+        return nearest_exact_resize_hw(table, resolution)
+    raise ValueError(f"unknown projection: {cfg.data.projection}")
+
+
+def build_diffusion(cfg: config_lib.Config, model, apply_fn=None):
+    """Wrap the network in the configured diffusion process (reference
+    utils/inference.py:62-78, train.py:115-130)."""
+    common = dict(
+        model=model,
+        prediction_type=cfg.diffusion.prediction_type,
+        loss_type=cfg.diffusion.loss_type,
+        noise_schedule=cfg.diffusion.noise_schedule,
+        apply_fn=apply_fn,
+    )
+    if cfg.diffusion.timestep_type == "continuous":
+        return ContinuousTimeGaussianDiffusion(**common)
+    if cfg.diffusion.timestep_type == "discrete":
+        return DiscreteTimeGaussianDiffusion(
+            num_training_steps=cfg.diffusion.num_training_steps or 1024, **common
+        )
+    raise ValueError(f"unknown timestep type: {cfg.diffusion.timestep_type}")
+
+
+class DDPM:
+    """Bound (diffusion, variables) with the reference's sampling surface.
+
+    ``ddpm.sample(batch_size=1, num_steps=256)`` returns NCHW fp32 in [-1, 1]
+    like the reference (README.md:27-29); pass ``data_format="NHWC"`` for the
+    native layout. Per-sample determinism: pass ``seeds=[...]`` (the analogue
+    of the reference's list-of-torch.Generators) or an explicit ``key``.
+    """
+
+    def __init__(self, diffusion, variables, cfg: Optional[config_lib.Config] = None):
+        self.diffusion = diffusion
+        self.variables = variables
+        self.cfg = cfg
+        self.num_parameters = count_parameters(variables)
+        self._jit_cache: dict = {}
+
+    # convenience accessors mirroring the reference module attributes
+    @property
+    def sampling_shape(self):
+        return self.diffusion.sampling_shape
+
+    @property
+    def coords(self) -> Optional[jnp.ndarray]:
+        """(H, W, 2) spatial coordinate buffer of the network, if any."""
+        bufs = self.variables.get("buffers", {})
+        return bufs.get("coords")
+
+    def _key(self, key, seeds, default_seed=0):
+        if key is not None:
+            return key
+        if seeds is not None:
+            return key_batch_from_seeds(list(seeds))
+        return jax.random.key(default_seed)
+
+    def sample(
+        self,
+        batch_size: int,
+        num_steps: int,
+        key=None,
+        seeds=None,
+        mode: str = "ddpm",
+        ddim_eta: float = 0.0,
+        return_all: bool = False,
+        data_format: str = "NCHW",
+    ) -> jnp.ndarray:
+        sig = ("sample", batch_size, num_steps, mode, float(ddim_eta), return_all)
+        if sig not in self._jit_cache:
+            if isinstance(self.diffusion, DiscreteTimeGaussianDiffusion):
+                fn = partial(
+                    self.diffusion.sample,
+                    batch_size=batch_size,
+                    num_steps=num_steps,
+                    mode=mode,
+                    eta=ddim_eta,
+                    return_all=return_all,
+                )
+            else:
+                fn = partial(
+                    self.diffusion.sample,
+                    batch_size=batch_size,
+                    num_steps=num_steps,
+                    mode=mode,
+                    ddim_eta=ddim_eta,
+                    return_all=return_all,
+                )
+            self._jit_cache[sig] = jax.jit(fn)
+        x = self._jit_cache[sig](self.variables, self._key(key, seeds))
+        if data_format == "NCHW":
+            perm = (0, 3, 1, 2) if not return_all else (0, 1, 4, 2, 3)
+            x = jnp.transpose(x, perm)
+        return x
+
+    def repaint(
+        self,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        num_steps: int,
+        num_resample_steps: int = 1,
+        jump_length: int = 1,
+        key=None,
+        seeds=None,
+        data_format: str = "NCHW",
+    ) -> jnp.ndarray:
+        """RePaint completion; ``known``/``mask`` in ``data_format`` layout
+        (reference continuous_time.py:260-317, completion_demo.py:92-99)."""
+        if data_format == "NCHW":
+            known = jnp.transpose(known, (0, 2, 3, 1))
+            mask = jnp.transpose(mask, (0, 2, 3, 1))
+        sig = ("repaint", known.shape, num_steps, num_resample_steps, jump_length)
+        if sig not in self._jit_cache:
+            self._jit_cache[sig] = jax.jit(
+                partial(
+                    self.diffusion.repaint,
+                    num_steps=num_steps,
+                    num_resample_steps=num_resample_steps,
+                    jump_length=jump_length,
+                )
+            )
+        x = self._jit_cache[sig](self.variables, known, mask, self._key(key, seeds))
+        if data_format == "NCHW":
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        return x
+
+    def loss(self, x_0: jnp.ndarray, key, data_format: str = "NHWC") -> jnp.ndarray:
+        if data_format == "NCHW":
+            x_0 = jnp.transpose(x_0, (0, 2, 3, 1))
+        return self.diffusion.loss(self.variables, x_0, key)
+
+
+def setup_model(
+    ckpt, ema: bool = True, dtype: Any = None
+) -> tuple[DDPM, LiDARUtility, config_lib.Config]:
+    """Rebuild (ddpm, lidar_utils, cfg) from a checkpoint.
+
+    ``ckpt`` may be: a path to a reference torch ``.pth`` (imported through
+    utils/torch_import.py), a path to one of our native checkpoints
+    (checkpoint.py), or an already-loaded dict in the reference layout
+    {cfg, weights, ema_weights, ...} (reference utils/inference.py:16-114).
+    """
+    if isinstance(ckpt, (str, os.PathLike)):
+        path = str(ckpt)
+        if path.endswith((".pth", ".pt", ".ckpt")):
+            from .utils.torch_import import load_torch_checkpoint
+
+            ckpt = load_torch_checkpoint(path)
+        else:
+            from .checkpoint import load_checkpoint
+
+            return setup_model(load_checkpoint(path), ema=ema, dtype=dtype)
+
+    cfg = config_lib.from_dict(ckpt["cfg"]) if isinstance(ckpt.get("cfg"), dict) else ckpt["cfg"]
+    model = build_model(cfg, dtype=dtype)
+
+    weights = ckpt.get("ema_weights" if ema else "weights") or ckpt.get("weights")
+    if isinstance(weights, dict) and any(
+        isinstance(v, np.ndarray) for v in weights.values()
+    ):
+        # flat reference state_dict -> flax trees. EMA state_dicts from
+        # ema_pytorch carry online_model./ema_model. prefixes; pick EMA.
+        from .utils.torch_import import variables_from_reference
+
+        flat = {
+            (k[len("ema_model."):] if k.startswith("ema_model.") else k): v
+            for k, v in weights.items()
+            if not k.startswith(("online_model.", "initted", "step"))
+        }
+        variables = variables_from_reference(flat)
+    else:
+        variables = jax.tree.map(jnp.asarray, weights)
+
+    diffusion = build_diffusion(cfg, model)
+    ddpm = DDPM(diffusion, variables, cfg)
+
+    ray_angles = ddpm.coords
+    lidar_utils = LiDARUtility(
+        resolution=tuple(cfg.data.resolution),
+        depth_format=cfg.data.depth_format,
+        min_depth=cfg.data.min_depth,
+        max_depth=cfg.data.max_depth,
+        ray_angles=np.asarray(ray_angles) if ray_angles is not None else None,
+        data_format="NCHW",
+    )
+    return ddpm, lidar_utils, cfg
+
+
+PRETRAINED_CONFIGS = (
+    # published reference checkpoints (hubconf.py:12-21)
+    "r2dm-h-kitti360-300k",
+    "r2dm-h-kittiraw-300k",
+)
+
+
+def pretrained_r2dm(
+    config: str = "r2dm-h-kitti360-300k",
+    ckpt_path: Optional[str] = None,
+    ema: bool = True,
+    dtype: Any = None,
+) -> tuple[DDPM, LiDARUtility, config_lib.Config]:
+    """The hub entry point (reference hubconf.py:21-37).
+
+    This environment has no network egress, so the released ``.pth`` must be
+    available locally: pass ``ckpt_path`` or set ``$R2DM_CKPT_DIR`` holding
+    ``<config>.pth`` files.
+    """
+    if ckpt_path is None:
+        ckpt_dir = os.environ.get("R2DM_CKPT_DIR", "")
+        candidate = os.path.join(ckpt_dir, f"{config}.pth")
+        if ckpt_dir and os.path.exists(candidate):
+            ckpt_path = candidate
+        else:
+            raise FileNotFoundError(
+                f"checkpoint for '{config}' not found; download "
+                f"https://github.com/kazuto1011/r2dm/releases (weights_{config.replace('-', '_')}.pth) "
+                "and pass ckpt_path= or set $R2DM_CKPT_DIR"
+            )
+    return setup_model(ckpt_path, ema=ema, dtype=dtype)

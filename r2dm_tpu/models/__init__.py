@@ -1,0 +1,3 @@
+from .efficient_unet import EfficientUNet
+
+__all__ = ["EfficientUNet"]

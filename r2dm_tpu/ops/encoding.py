@@ -132,5 +132,6 @@ def timestep_embedding(
     freqs = jnp.exp(
         -math.log(max_period) / (half - 1) * jnp.arange(half, dtype=jnp.float32)
     )
+    # always fp32 out: t may be integer (discrete-time step indices)
     args = t.astype(jnp.float32)[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1).astype(t.dtype)
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)

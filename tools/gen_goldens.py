@@ -260,6 +260,16 @@ def gen_tiny_diffusion():
     ddpm.randn_like = lambda x, rng=None: torch.from_numpy(noise).to(x)
     with torch.no_grad():
         loss = ddpm.p_loss(torch.from_numpy(x_t), torch.from_numpy(step_t))
+        # per-sample pieces for the intended (per-sample) min-SNR weighting:
+        # the reference's own p_loss broadcasts (B,1)x(B,1,1,1) -> (B,1,B,1),
+        # i.e. mean(loss)*mean(weight); we capture the parts so the JAX test
+        # can check mean(per*weight) directly.
+        xt_det, n_det = ddpm.q_step_from_x_0(
+            torch.from_numpy(x_t), torch.from_numpy(step_t)
+        )
+        pred = net(xt_det, ddpm.get_network_condition(torch.from_numpy(step_t)))
+        per_sample = ((pred - n_det) ** 2).mean(dim=(1, 2, 3))
+        weight = ddpm.get_loss_weight(torch.from_numpy(step_t))[:, 0, 0, 0]
     sd = {k: t2n(v) for k, v in net.state_dict().items()}
     save(
         "tiny_diffusion_continuous",
@@ -270,6 +280,8 @@ def gen_tiny_diffusion():
         ddim_out=t2n(ddim_out),
         noise=noise,
         loss=np.array(float(loss)),
+        per_sample=t2n(per_sample),
+        loss_weight=t2n(weight),
         **{f"sd::{k}": v for k, v in sd.items()},
     )
 
@@ -292,6 +304,12 @@ def gen_tiny_diffusion():
     ddpm_d.randn_like = lambda x, rng=None: torch.from_numpy(noise).to(x)
     with torch.no_grad():
         d_loss = ddpm_d.p_loss(torch.from_numpy(x_t), torch.from_numpy(steps))
+        xt_det, n_det = ddpm_d.q_step_from_x_0(
+            torch.from_numpy(x_t), torch.from_numpy(steps)
+        )
+        pred = net(xt_det, torch.from_numpy(steps))
+        d_per_sample = ((pred - n_det) ** 2).mean(dim=(1, 2, 3))
+        d_weight = ddpm_d.get_loss_weight(torch.from_numpy(steps))[:, 0, 0, 0]
     save(
         "tiny_diffusion_discrete",
         x_t=x_t,
@@ -300,6 +318,8 @@ def gen_tiny_diffusion():
         ddim_out=t2n(d_ddim),
         noise=noise,
         loss=np.array(float(d_loss)),
+        per_sample=t2n(d_per_sample),
+        loss_weight=t2n(d_weight),
     )
 
 

@@ -1,0 +1,15 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    with_width_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "with_width_sharding",
+]

@@ -1,0 +1,74 @@
+"""Device-mesh parallelism for training and sampling.
+
+TPU-native replacement for the reference's HF-Accelerate DDP story
+(train.py:45-53,193-195: NCCL all-reduce hidden behind accelerator.prepare):
+a ``jax.sharding.Mesh`` with two axes,
+
+  - ``data``: batch (data-parallel) axis — gradients are reduced over ICI by
+    XLA-inserted psums when the jitted step consumes a batch sharded on this
+    axis against replicated parameters (⇔ accelerate's grad sync);
+  - ``width``: optional spatial axis sharding the W (azimuth) dimension of
+    the 64xW range images — GSPMD partitions the ring convolutions with halo
+    collective-permutes over ICI automatically. This is the natural
+    "sequence parallel" analogue for this workload (SURVEY.md §5) and lets a
+    single scan fan out wide-resolution sampling across chips.
+
+The reference's ``split_batches=True`` (per-rank batch slicing) corresponds
+to :func:`shard_batch` placing each host's rows on its local devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    mesh_shape: Optional[tuple[int, ...]] = None,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """(data,) or (data, width) mesh over the available devices.
+
+    ``mesh_shape=None`` puts every device on the data axis (pure DP, the
+    reference's only strategy — SURVEY.md §2.5).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if mesh_shape is None:
+        mesh_shape = (len(devices),)
+    assert len(mesh_shape) in (1, 2)
+    axis_names = ("data",) if len(mesh_shape) == 1 else ("data", "width")
+    arr = np.asarray(devices[: int(np.prod(mesh_shape))]).reshape(mesh_shape)
+    return Mesh(arr, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, data_format: str = "NHWC") -> NamedSharding:
+    """Sharding for an image batch: rows over 'data', W over 'width'."""
+    has_width = "width" in mesh.axis_names
+    if data_format == "NHWC":
+        spec = P("data", None, "width" if has_width else None, None)
+    else:  # NCHW
+        spec = P("data", None, None, "width" if has_width else None)
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch(mesh: Mesh, batch, data_format: str = "NHWC"):
+    """Place a host batch onto the mesh (⇔ accelerate split_batches)."""
+    sharding = batch_sharding(mesh, data_format)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim == 4
+        else jax.device_put(x, replicated(mesh)),
+        batch,
+    )
+
+
+def with_width_sharding(mesh: Mesh, x, data_format: str = "NHWC"):
+    """Constrain intermediate activations to the width sharding (useful to
+    keep GSPMD from re-gathering between U-Net levels)."""
+    return jax.lax.with_sharding_constraint(x, batch_sharding(mesh, data_format))

@@ -1,0 +1,110 @@
+"""Data pipeline tests: projection parity (numpy & native C++ vs reference
+golden), split tables, datasets, loader, and on-device preprocessing."""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from r2dm_tpu.data import (
+    DataLoader,
+    SyntheticLiDAR,
+    nearest_exact_resize_jnp,
+    preprocess_batch,
+    project_points,
+    project_points_numpy,
+)
+from r2dm_tpu.data import kitti_splits
+from r2dm_tpu.data.native import load_native
+from r2dm_tpu.lidar import LiDARUtility
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDEN / "projection.npz")
+
+
+def test_numpy_projection_matches_reference_spherical(g):
+    ours = project_points_numpy(
+        g["points"], scan_unfolding=False, H=64, W=256
+    )
+    np.testing.assert_allclose(ours, g["spherical"], rtol=1e-6, atol=1e-6)
+
+
+def test_numpy_projection_matches_reference_unfolding(g):
+    ours = project_points_numpy(
+        g["points_unfold"], scan_unfolding=True, H=16, W=256
+    )
+    np.testing.assert_allclose(ours, g["unfolding"], rtol=1e-6, atol=1e-6)
+
+
+def test_native_projection_matches_numpy(g):
+    lib = load_native()
+    assert lib is not None, "native projection core failed to build"
+    for pts, unfold, H in ((g["points"], False, 64), (g["points_unfold"], True, 16)):
+        a = project_points(pts, scan_unfolding=unfold, H=H, W=256)
+        b = project_points_numpy(pts, scan_unfolding=unfold, H=H, W=256)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_split_tables_match_reference():
+    s = np.load(GOLDEN / "splits.npz")
+    assert tuple(s["kitti360_train"]) == tuple(
+        sorted(kitti_splits.KITTI360_SEQUENCE_SPLITS["train"])
+    )
+    assert tuple(s["kitti360_test"]) == tuple(
+        sorted(kitti_splits.KITTI360_SEQUENCE_SPLITS["test"])
+    )
+    assert list(s["raw_test_drives"]) == kitti_splits.raw_test_drives()
+    for key, val in zip(s["odometry_keys"], s["odometry_values"]):
+        date, drive, start, end = kitti_splits.ODOMETRY_TO_RAW[int(key)]
+        name = kitti_splits.drive_name(date, drive)
+        assert str(val) == str((name, start, end)), key
+
+
+def test_synthetic_dataset_rows():
+    ds = SyntheticLiDAR(num_scans=4, projection="spherical-1024")
+    assert len(ds) == 4
+    row = ds[0]
+    assert row["xyz"].shape == (3, 64, 1024)
+    assert row["depth"].shape == (1, 64, 1024)
+    assert set(np.unique(row["mask"])) <= {0.0, 1.0}
+    # masked multiply: invalid pixels must be zero everywhere
+    inv = row["mask"][0] == 0
+    assert np.abs(row["depth"][0][inv]).max() == 0
+    # determinism
+    row2 = SyntheticLiDAR(num_scans=4, projection="spherical-1024")[0]
+    np.testing.assert_array_equal(row["depth"], row2["depth"])
+
+
+def test_loader_sharding_and_preprocess():
+    ds = SyntheticLiDAR(num_scans=16, projection="spherical-256")
+    # two "hosts" must see disjoint halves of the same global batch
+    it0 = iter(DataLoader(ds, 4, seed=1, process_index=0, process_count=2))
+    it1 = iter(DataLoader(ds, 4, seed=1, process_index=1, process_count=2))
+    b0, b1 = next(it0), next(it1)
+    assert b0["depth"].shape == (2, 64, 256, 1)
+    assert set(b0["sample_id"]) & set(b1["sample_id"]) == set()
+
+    util = LiDARUtility((64, 256), "log_depth", 1.45, 80.0, data_format="NHWC")
+    x = preprocess_batch(util, {k: jnp.asarray(v) for k, v in b0.items()}, (64, 256))
+    assert x.shape == (2, 64, 256, 2)
+    xn = np.asarray(x)
+    assert xn.min() >= -1.0 - 1e-6 and xn.max() <= 1.0 + 1e-6
+
+
+def test_nearest_exact_resize_jnp_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 32, 128, 3)).astype(np.float32)
+    ours = np.asarray(nearest_exact_resize_jnp(jnp.asarray(x), (64, 96)))
+    ref = F.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(64, 96),
+        mode="nearest-exact",
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours, ref)

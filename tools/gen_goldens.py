@@ -346,6 +346,199 @@ def gen_tiny_refinenet():
     )
 
 
+# ---------------------------------------------------------------- render
+def _fake_kornia():
+    """kornia is not installed; the reference uses only two small geometry
+    helpers, reproduced here in torch for the golden oracle."""
+    import types
+
+    mod = types.ModuleType("kornia")
+    geometry = types.ModuleType("kornia.geometry")
+    conversions = types.ModuleType("kornia.geometry.conversions")
+
+    def axis_angle_to_rotation_matrix(v):
+        # Rodrigues: R = I + sin(t) K + (1 - cos(t)) K^2
+        theta = torch.norm(v, dim=-1, keepdim=True).clamp(min=1e-12)
+        axis = v / theta
+        t = theta[..., None]
+        kx, ky, kz = axis[..., 0], axis[..., 1], axis[..., 2]
+        zero = torch.zeros_like(kx)
+        K = torch.stack(
+            [
+                torch.stack([zero, -kz, ky], -1),
+                torch.stack([kz, zero, -kx], -1),
+                torch.stack([-ky, kx, zero], -1),
+            ],
+            -2,
+        )
+        eye = torch.eye(3).expand(K.shape)
+        return eye + torch.sin(t) * K + (1 - torch.cos(t)) * (K @ K)
+
+    def project_points(points, K):
+        # perspective divide then intrinsics (kornia semantics)
+        xy = points[..., :2] / points[..., 2:3]
+        ones = torch.ones_like(xy[..., :1])
+        uvw = torch.cat([xy, ones], dim=-1) @ K.transpose(-1, -2)
+        return uvw[..., :2]
+
+    conversions.axis_angle_to_rotation_matrix = axis_angle_to_rotation_matrix
+    geometry.conversions = conversions
+    geometry.project_points = project_points
+    mod.geometry = geometry
+    sys.modules.setdefault("kornia", mod)
+    sys.modules.setdefault("kornia.geometry", geometry)
+    sys.modules.setdefault("kornia.geometry.conversions", conversions)
+
+
+def gen_render():
+    _fake_kornia()
+    from utils.render import (
+        bilinear_rasterizer,
+        colorize,
+        estimate_surface_normal,
+        make_Rt,
+        render_point_clouds,
+    )
+
+    rng = np.random.default_rng(17)
+    # rasterizer
+    coords = torch.from_numpy(
+        rng.uniform(-2, 34, (2, 500, 2)).astype(np.float32)
+    )
+    values = torch.from_numpy(rng.standard_normal((2, 500, 3)).astype(np.float32))
+    rast = bilinear_rasterizer(coords, values, (32, 32))
+    # normals from a smooth surface
+    h = np.linspace(-1, 1, 16)
+    w = np.linspace(-np.pi, np.pi, 64, endpoint=False)
+    hh, ww = np.meshgrid(h, w, indexing="ij")
+    r = 5 + np.sin(3 * ww) + 0.5 * hh
+    pts = np.stack(
+        [r * np.cos(ww), r * np.sin(ww), hh * 2], axis=0
+    ).astype(np.float32)[None]
+    pts = np.repeat(pts, 2, axis=0)
+    pts[1] += 0.1
+    normals = estimate_surface_normal(torch.from_numpy(pts), d=2, mode="closest")
+    normals_mean = estimate_surface_normal(torch.from_numpy(pts), d=1, mode="mean")
+    # full BEV render
+    points_flat = torch.from_numpy(
+        pts.reshape(2, 3, -1).transpose(0, 2, 1) / 10.0
+    )
+    colors = torch.from_numpy(
+        rng.uniform(0, 1, points_flat.shape).astype(np.float32)
+    )
+    R, t = make_Rt(pitch=np.pi / 4, yaw=np.pi / 8, z=0.8)
+    bev = render_point_clouds(points_flat, colors, size=64, R=R, t=t)
+    # colorize
+    scalar = torch.from_numpy(rng.uniform(-0.1, 1.1, (2, 16, 64)).astype(np.float32))
+    save(
+        "render",
+        coords=t2n(coords),
+        values=t2n(values),
+        rast=t2n(rast),
+        pts=pts,
+        normals=t2n(normals),
+        normals_mean=t2n(normals_mean),
+        points_flat=t2n(points_flat),
+        colors=t2n(colors),
+        R=t2n(R),
+        t_vec=t2n(t),
+        bev=t2n(bev),
+        scalar=t2n(scalar),
+        colorized=t2n(colorize(scalar)),
+    )
+
+
+# ---------------------------------------------------------------- projection
+def _fake_numba():
+    """numba is not installed here; the reference only uses @numba.jit as a
+    passthrough decorator on a tiny scatter loop."""
+    import types
+
+    mod = types.ModuleType("numba")
+
+    def jit(*a, **k):
+        def deco(fn):
+            return fn
+
+        return deco
+
+    mod.jit = jit
+    sys.modules.setdefault("numba", mod)
+
+
+def gen_projection():
+    _fake_numba()
+    from data.kitti_360.kitti_360 import load_points_as_images
+
+    rng = np.random.default_rng(21)
+    n = 40_000
+    azimuth = rng.uniform(-np.pi, np.pi, n)
+    r = rng.uniform(0.5, 90.0, n)  # includes out-of-gate depths
+    x = r * np.cos(azimuth)
+    y = r * np.sin(azimuth)
+    z = rng.uniform(-4.0, 2.0, n)
+    refl = rng.uniform(0, 1, n)
+    points = np.stack([x, y, z, refl], axis=1).astype(np.float32)
+    bin_path = OUT / "_tmp_scan.bin"
+    points.tofile(bin_path)
+
+    out = {"points": points}
+    out["spherical"] = load_points_as_images(
+        str(bin_path), scan_unfolding=False, H=64, W=256
+    )
+    # unfolding needs ring-ordered points: emit points ring-by-ring in
+    # counterclockwise azimuth order like a spinning scanner
+    rings = 16
+    per = 512
+    az = np.tile(np.linspace(-np.pi + 1e-3, np.pi - 1e-3, per), rings)
+    elev = np.repeat(np.deg2rad(np.linspace(2.5, -24.5, rings)), per)
+    rr = rng.uniform(2.0, 70.0, rings * per)
+    pts2 = np.stack(
+        [
+            rr * np.cos(elev) * np.cos(-az),
+            rr * np.cos(elev) * np.sin(-az),
+            rr * np.sin(elev),
+            rng.uniform(0, 1, rings * per),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    bin2 = OUT / "_tmp_scan2.bin"
+    pts2.tofile(bin2)
+    out["points_unfold"] = pts2
+    out["unfolding"] = load_points_as_images(
+        str(bin2), scan_unfolding=True, H=16, W=256
+    )
+    bin_path.unlink()
+    bin2.unlink()
+    save("projection", **out)
+
+
+def gen_split_tables():
+    _fake_numba()
+    import data.kitti_raw.kitti_raw as kr
+    from data.kitti_360.kitti_360 import _SEQUENCE_SPLITS as k360
+
+    test_drives = []
+    for category in ["city", "road", "residential"]:
+        for seq_name in kr._RAW_RECORDS[category]:
+            if seq_name not in kr._RAW_TRAINVAL:
+                test_drives.append(seq_name)
+    odo = {
+        k: (v[0], v[1], v[2]) for k, v in kr._ODOMETRY_TO_RAW.items()
+    }
+    np.savez_compressed(
+        OUT / "splits.npz",
+        kitti360_train=np.array(sorted(k360["lidargen"]["train"])),
+        kitti360_test=np.array(sorted(k360["lidargen"]["test"])),
+        raw_test_drives=np.array(test_drives),
+        odometry_keys=np.array(sorted(odo.keys())),
+        odometry_values=np.array(
+            [str(odo[k]) for k in sorted(odo.keys())]
+        ),
+    )
+    print("splits: saved")
+
+
 if __name__ == "__main__":
     gen_resample()
     gen_ops_misc()
@@ -355,4 +548,7 @@ if __name__ == "__main__":
     gen_tiny_unet()
     gen_tiny_diffusion()
     gen_tiny_refinenet()
+    gen_projection()
+    gen_split_tables()
+    gen_render()
     print("done ->", OUT)

@@ -21,7 +21,9 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # to_state_dict turns NamedTuple/custom-node pytrees (optax states) into
+    # plain nested dicts that msgpack can serialize
+    return jax.tree.map(lambda x: np.asarray(x), serialization.to_state_dict(tree))
 
 
 def save_checkpoint(

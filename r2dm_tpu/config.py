@@ -81,14 +81,13 @@ class TrainingConfig:
 @dataclass
 class DataConfig:
     # cf. reference utils/option.py:55-69
-    dataset: Literal["kitti_raw", "kitti_360"] = "kitti_360"
+    # reference choices: kitti_raw | kitti_360 (utils/option.py:57); we add
+    # "synthetic" (procedural stand-in for tests/smoke runs)
+    dataset: Literal["kitti_raw", "kitti_360", "synthetic"] = "kitti_360"
     depth_format: Literal["log_depth", "inverse_depth", "depth"] = "log_depth"
-    projection: Literal[
-        "unfolding-2048",
-        "spherical-2048",
-        "unfolding-1024",
-        "spherical-1024",
-    ] = "spherical-1024"
+    # "<spherical|unfolding>-<width>"; reference offers 1024/2048 widths
+    # (utils/option.py:58-64); any width is accepted here
+    projection: str = "spherical-1024"
     train_depth: bool = True
     train_reflectance: bool = True
     resolution: Tuple[int, int] = (64, 1024)

@@ -1,0 +1,192 @@
+"""Train an R2DM diffusion model on TPU (config-H recipe by default).
+
+TPU-native counterpart of the reference trainer (train.py:37-318):
+  accelerate DDP        -> jit over a jax.sharding.Mesh (grad psum over ICI)
+  fp16 AMP              -> bf16 network compute, fp32 params + diffusion math
+  ema_pytorch           -> EMA pytree lerp inside the compiled step
+  host preprocess       -> fused on-device preprocess inside the jitted step
+  torch.save ckpt       -> msgpack checkpoints (+ RESUME, which the
+                           reference lacks - SURVEY.md §5)
+  tensorboard images    -> PNG panels + metrics.jsonl (+ TB if available)
+
+Usage:
+  python train.py --data.dataset kitti_360 --data.data_root /path/to/bins
+  python train.py --data.dataset synthetic --training.num_steps 200  # smoke
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r2dm_tpu import config as config_lib
+from r2dm_tpu.checkpoint import load_checkpoint, restore_opt_state, save_checkpoint
+from r2dm_tpu.data import DataLoader, make_dataset, preprocess_batch
+from r2dm_tpu.inference import build_diffusion, build_model, model_coords
+from r2dm_tpu.lidar import LiDARUtility
+from r2dm_tpu.parallel import make_mesh, replicated, shard_batch
+from r2dm_tpu.training import (
+    EMAConfig,
+    init_train_state,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+)
+from r2dm_tpu.utils.logging import MetricLogger, save_image_panels
+
+
+def train(cfg: config_lib.Config) -> None:
+    tcfg = cfg.training
+    out_dir = tcfg.output_dir
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "training_config.json"), "w") as f:
+            json.dump(config_lib.asdict(cfg), f, indent=2)  # cf. train.py:60-64
+
+    # ---------------------------------------------------------------- model
+    channels = int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
+    model = build_model(cfg, dtype=jnp.bfloat16 if tcfg.mixed_precision == "bf16" else None)
+    coords = model_coords(cfg)
+    init_vars = jax.jit(model.init)(
+        jax.random.key(tcfg.seed),
+        jnp.zeros((1, *cfg.data.resolution, channels)),
+        jnp.zeros((1,)),
+    )
+    buffers = {"coords": jnp.asarray(coords)}
+    diffusion = build_diffusion(cfg, model)
+    lidar_utils = LiDARUtility(
+        resolution=tuple(cfg.data.resolution),
+        depth_format=cfg.data.depth_format,
+        min_depth=cfg.data.min_depth,
+        max_depth=cfg.data.max_depth,
+        ray_angles=coords,
+        data_format="NHWC",
+    )
+    num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(init_vars["params"]))
+    if is_main:
+        print(f"number of parameters: {num_params/1e6:.2f}M")  # cf. train.py:111-112
+
+    # ------------------------------------------------------------ optimizer
+    tx, lr_schedule = make_optimizer(tcfg)
+    state = init_train_state(init_vars["params"], buffers, tx)
+
+    # --------------------------------------------------------------- resume
+    start_step = 0
+    if tcfg.resume:
+        ckpt = load_checkpoint(tcfg.resume)
+        tpl = state
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, ckpt["weights"]["params"]),
+            ema_params=jax.tree.map(jnp.asarray, ckpt["ema_weights"]["params"]),
+            opt_state=restore_opt_state(tpl.opt_state, ckpt["opt_state"]),
+            step=jnp.asarray(ckpt["global_step"], jnp.int32),
+        )
+        start_step = ckpt["global_step"]
+        if is_main:
+            print(f"resumed from {tcfg.resume} at step {start_step}")
+
+    # ----------------------------------------------------------------- mesh
+    mesh = make_mesh(tcfg.mesh_shape)
+    state = jax.device_put(state, replicated(mesh))
+
+    # ----------------------------------------------------------------- data
+    dataset = make_dataset(
+        cfg.data.dataset,
+        cfg.data.data_root,
+        "train",
+        cfg.data.projection,
+        cache_dir=os.path.join(out_dir, "cache") if cfg.data.data_root else None,
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=tcfg.batch_size_train,
+        seed=tcfg.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    # ------------------------------------------------------------ train fns
+    base_step = make_train_step(diffusion, tx, EMAConfig(beta=tcfg.ema_decay,
+                                                         update_every=tcfg.ema_update_every))
+
+    def full_step(state, raw_batch, key, loss_mask=None):
+        x_0 = preprocess_batch(
+            lidar_utils,
+            raw_batch,
+            tuple(cfg.data.resolution),
+            cfg.data.train_depth,
+            cfg.data.train_reflectance,
+        )
+        return base_step(state, x_0, key, loss_mask)
+
+    step_fn = jit_train_step(full_step, mesh)
+
+    def sample_fn(variables, key):
+        return diffusion.sample(
+            variables, key, batch_size=min(tcfg.batch_size_eval, 8), num_steps=256
+        )
+
+    sample_jit = jax.jit(sample_fn)
+
+    logger = MetricLogger(out_dir, enabled=is_main)
+    root_key = jax.random.key(tcfg.seed)
+
+    # ------------------------------------------------------------ hot loop
+    t0 = time.time()
+    global_step = start_step
+    data_iter = iter(loader)
+    while global_step < tcfg.num_steps:
+        raw = next(data_iter)
+        batch = shard_batch(
+            mesh, {k: jnp.asarray(v) for k, v in raw.items() if k != "sample_id"}
+        )
+        step_key = jax.random.fold_in(root_key, global_step)
+        state, metrics = step_fn(state, batch, step_key, None)
+        global_step += 1
+
+        if global_step % 50 == 0 or global_step == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["lr"] = float(lr_schedule(global_step))
+            m["steps_per_sec"] = (
+                (global_step - start_step) / (time.time() - t0)
+            )
+            logger.log(global_step, m)  # cf. train.py:273-277
+
+        if global_step % tcfg.steps_save_image == 0 and is_main:
+            ema_vars = {"params": state.ema_params, "buffers": state.buffers}
+            key = jax.random.fold_in(jax.random.key(9), global_step)
+            samples = sample_jit(ema_vars, key)
+            save_image_panels(
+                out_dir, global_step, samples, lidar_utils, channels
+            )  # cf. train.py:282-289, 220-245
+
+        if global_step % tcfg.steps_save_model == 0 and is_main:
+            save_checkpoint(
+                os.path.join(out_dir, "checkpoint.msgpack"),
+                config_lib.asdict(cfg),
+                {"params": state.params, "buffers": state.buffers},
+                ema_weights={"params": state.ema_params, "buffers": state.buffers},
+                opt_state=jax.tree.map(np.asarray, state.opt_state),
+                step=global_step,
+            )  # cf. train.py:291-304 (+ resume support)
+
+    if is_main:
+        save_checkpoint(
+            os.path.join(out_dir, "checkpoint.msgpack"),
+            config_lib.asdict(cfg),
+            {"params": state.params, "buffers": state.buffers},
+            ema_weights={"params": state.ema_params, "buffers": state.buffers},
+            opt_state=jax.tree.map(np.asarray, state.opt_state),
+            step=global_step,
+        )
+        print(f"done: {global_step} steps in {time.time()-t0:.0f}s -> {out_dir}")
+
+
+if __name__ == "__main__":
+    train(config_lib.parse_cli())

@@ -1,0 +1,103 @@
+"""Generate LiDAR scans from a trained model and render previews.
+
+TPU counterpart of the reference generate.py: loads a checkpoint (ours or a
+reference .pth), runs the scan-compiled sampler, and writes range-image +
+BEV panels (and optionally an mp4 of the whole reverse process when imageio
+is available).
+
+Usage: python generate.py --ckpt logs/diffusion/checkpoint.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r2dm_tpu import render as render_lib
+from r2dm_tpu.inference import setup_model
+
+
+def render_panels(x, lidar_utils):
+    """x: (B, H, W, C) in [0, 1] with x[..., 0] = metric depth / max_depth.
+    Returns (range-image rgb, bev rgb) uint8 (reference generate.py:44-59)."""
+    from matplotlib import cm
+
+    B, H, W, C = x.shape
+    img = render_lib.colorize(
+        x.transpose(0, 3, 1, 2).reshape(B, C * H, W)
+    )  # stack channels vertically like the reference grid
+    xyz = lidar_utils.to_xyz(x[..., 0:1] * lidar_utils.max_depth)
+    xyz = xyz / lidar_utils.max_depth
+    z_min, z_max = -2 / lidar_utils.max_depth, 0.5 / lidar_utils.max_depth
+    z = jnp.clip((xyz[..., 2] - z_min) / (z_max - z_min), 0, 1)
+    lut = np.asarray(cm.viridis(np.linspace(0, 1, 256))[:, :3], np.float32)
+    colors = render_lib.colorize(z, lut).astype(jnp.float32) / 255.0
+    R, t = render_lib.make_Rt(pitch=np.pi / 3, yaw=np.pi / 4, z=0.8)
+    bev = 1.0 - render_lib.render_point_clouds(
+        points=xyz.reshape(B, H * W, 3),
+        colors=1.0 - colors.reshape(B, H * W, 3),
+        R=R,
+        t=t,
+    )
+    bev = np.clip(np.asarray(bev) * 255, 0, 255).astype(np.uint8)
+    return np.asarray(img), bev
+
+
+def main(args):
+    ddpm, lidar_utils, cfg = setup_model(args.ckpt)
+    # NHWC internally; per-sample seeds for reproducibility
+    xs = ddpm.sample(
+        batch_size=args.batch_size,
+        num_steps=args.sampling_steps,
+        mode=args.mode,
+        seeds=list(range(args.seed, args.seed + args.batch_size)),
+        return_all=args.video,
+        data_format="NHWC",
+    )
+    xs = jnp.clip(xs, -1, 1)
+    lidar_utils.data_format = "NHWC"
+
+    def to_unit(x):
+        x = lidar_utils.denormalize(x)
+        depth = lidar_utils.revert_depth(x[..., 0:1]) / lidar_utils.max_depth
+        return jnp.concatenate([depth, x[..., 1:]], axis=-1)
+
+    final = to_unit(xs[-1] if args.video else xs)
+    img, bev = render_panels(final, lidar_utils)
+    import matplotlib.image
+
+    matplotlib.image.imsave("samples_img.png", np.concatenate(list(img), axis=0))
+    matplotlib.image.imsave(
+        "samples_bev.png",
+        np.concatenate(list(bev), axis=1) if args.batch_size > 1 else bev[0],
+    )
+    print("wrote samples_img.png, samples_bev.png")
+
+    if args.video:
+        try:
+            import imageio
+        except ImportError:
+            print("imageio unavailable; skipping samples.mp4")
+            return
+        writer = imageio.get_writer("samples.mp4", mode="I", fps=60)
+        for x in np.asarray(xs):
+            img, bev = render_panels(to_unit(jnp.asarray(x)), lidar_utils)
+            frame_top = np.concatenate(list(img), axis=1)
+            frame = frame_top  # range image strip per frame
+            writer.append_data(frame)
+        writer.close()
+        print("wrote samples.mp4")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--mode", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--sampling_steps", type=int, default=256)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--video", action="store_true")
+    main(parser.parse_args())

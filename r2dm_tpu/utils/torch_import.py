@@ -160,6 +160,122 @@ def convert_unet_state_dict(
     return params, buffers
 
 
+def convert_refinenet_state_dict(
+    sd: Mapping[str, np.ndarray],
+) -> tuple[dict, dict]:
+    """Reference LiDARGenRefineNet state_dict -> (params, buffers) flax trees.
+
+    Name conventions translated (reference models/refinenet.py:157-212):
+      in_conv / out_conv.2                -> in_conv / out_conv
+      out_conv.0 (InstanceNorm2dPlus)     -> out_norm
+      d_blockN.j.*                        -> d_blockN_j.*
+      *.norm{1,2}.alpha/(post_affine)     -> norm{1,2}.{alpha,scale,bias}
+      *.conv2.0 (conv before avgpool)     -> conv2
+      u_blockN.adaptive_convs.i.0 (RCU)   -> u_blockN.adapt{i}_rcu
+      u_blockN.adaptive_convs.i.1 (conv)  -> u_blockN.adapt{i}_proj
+      u_blockN.crp.convs.i.1              -> u_blockN.crp.conv{i}
+      u_blockN.output_conv.units.j.{1,3}  -> u_blockN.output_rcu.unit{j}_stage{k}
+      coords (1,2,H,W)                    -> buffers coords (H,W,2)
+    """
+    params: dict = {}
+    buffers: dict = {}
+
+    def set_conv(path: list[str], wb: str, v: np.ndarray) -> None:
+        leaf = "kernel" if wb == "weight" else "bias"
+        _set(params, path + ["conv", leaf], _conv(v) if wb == "weight" else v)
+
+    def set_plain_conv(path: list[str], wb: str, v: np.ndarray) -> None:
+        leaf = "kernel" if wb == "weight" else "bias"
+        _set(params, path + [leaf], _conv(v) if wb == "weight" else v)
+
+    def set_inorm(path: list[str], sub: str, wb: str, v: np.ndarray) -> None:
+        if sub == "alpha":
+            _set(params, path + ["alpha"], v.reshape(-1))
+        elif sub == "post_affine":
+            leaf = "scale" if wb == "weight" else "bias"
+            _set(params, path + [leaf], v.reshape(-1))
+
+    def rcu_leaf(rest: str) -> tuple[int, int] | None:
+        m = re.match(r"units\.(\d+)\.(\d+)\.weight", rest)
+        if m:
+            j, idx = int(m.group(1)), int(m.group(2))
+            return j, (idx - 1) // 2  # Sequential(ELU, conv, ELU, conv)
+        return None
+
+    for key, raw in sd.items():
+        k = key[6:] if key.startswith("model.") else key
+        v = np.asarray(raw, dtype=np.float32)
+        if k == "coords":
+            buffers["coords"] = np.transpose(v[0], (1, 2, 0))
+            continue
+        m = re.match(r"in_conv\.(weight|bias)", k)
+        if m:
+            set_plain_conv(["in_conv"], m.group(1), v)
+            continue
+        m = re.match(r"out_conv\.0\.(alpha|post_affine)(?:\.(weight|bias))?", k)
+        if m:
+            set_inorm(["out_norm"], m.group(1), m.group(2) or "", v)
+            continue
+        m = re.match(r"out_conv\.2\.(weight|bias)", k)
+        if m:
+            set_plain_conv(["out_conv"], m.group(1), v)
+            continue
+        m = re.match(r"(d_block\d)\.(\d)\.(.*)", k)
+        if m:
+            block = f"{m.group(1)}_{m.group(2)}"
+            rest = m.group(3)
+            mm = re.match(r"(norm[12])\.(alpha|post_affine)(?:\.(weight|bias))?", rest)
+            if mm:
+                set_inorm([block, mm.group(1)], mm.group(2), mm.group(3) or "", v)
+                continue
+            mm = re.match(r"(conv[12]|skip)(?:\.0)?\.(weight|bias)", rest)
+            if mm:
+                set_conv([block, mm.group(1)], mm.group(2), v)
+                continue
+            raise KeyError(f"unhandled refinenet key: {key}")
+        m = re.match(r"(u_block\d)\.(.*)", k)
+        if m:
+            block, rest = m.groups()
+            mm = re.match(r"adaptive_convs\.(\d+)\.0\.(units\..*)", rest)
+            if mm:
+                j_k = rcu_leaf(mm.group(2))
+                if j_k:
+                    j, kk = j_k
+                    set_conv([block, f"adapt{mm.group(1)}_rcu", f"unit{j}_stage{kk}"],
+                             "weight", v)
+                    continue
+            mm = re.match(r"adaptive_convs\.(\d+)\.1\.(weight|bias)", rest)
+            if mm:
+                set_conv([block, f"adapt{mm.group(1)}_proj"], mm.group(2), v)
+                continue
+            mm = re.match(r"crp\.convs\.(\d+)\.1\.weight", rest)
+            if mm:
+                set_conv([block, "crp", f"conv{mm.group(1)}"], "weight", v)
+                continue
+            mm = re.match(r"output_conv\.(units\..*)", rest)
+            if mm:
+                j_k = rcu_leaf(mm.group(1))
+                if j_k:
+                    j, kk = j_k
+                    set_conv([block, "output_rcu", f"unit{j}_stage{kk}"], "weight", v)
+                    continue
+            raise KeyError(f"unhandled refinenet key: {key}")
+        raise KeyError(f"unhandled refinenet key: {key}")
+
+    return params, buffers
+
+
+def refinenet_variables_from_reference(sd: Mapping[str, np.ndarray]) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    params, buffers = convert_refinenet_state_dict(sd)
+    variables = {"params": params}
+    if buffers:
+        variables["buffers"] = buffers
+    return jax.tree.map(jnp.asarray, variables)
+
+
 def load_torch_checkpoint(path: str) -> dict[str, Any]:
     """Read a reference .pth checkpoint into plain numpy/python objects.
 

@@ -1,0 +1,71 @@
+"""Mass sampling for evaluation: generate N scans and save postprocessed
+tensors (depth, xyz, reflectance) per seed.
+
+TPU counterpart of the reference sample_and_save.py: the accelerate
+multi-rank seed sharding (:25-46) becomes process-index striding; per-seed
+determinism uses batched PRNG keys (⇔ per-seed torch.Generators, :71-77).
+Sampling + postprocess run as one compiled program per batch; outputs are
+.npz files (5, H, W) [depth, x, y, z, reflectance] compatible with
+evaluate.py (which also reads the reference's .pth layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r2dm_tpu.diffusion import key_batch_from_seeds
+from r2dm_tpu.inference import setup_model
+
+
+def main(args):
+    ddpm, lidar_utils, cfg = setup_model(args.ckpt)
+    lidar_utils.data_format = "NHWC"
+    save_dir = Path(args.output_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    @partial(jax.jit, static_argnames=("batch_size",))
+    def sample_batch(variables, keys, batch_size):
+        x = ddpm.diffusion.sample(
+            variables, keys, batch_size=batch_size,
+            num_steps=args.num_steps, mode=args.mode,
+        )
+        x = jnp.clip(x, -1, 1)
+        x = lidar_utils.denormalize(x)
+        depth = lidar_utils.revert_depth(x[..., 0:1])
+        xyz = lidar_utils.to_xyz(depth)
+        rflct = x[..., 1:2]
+        # (B, H, W, 5) -> (B, 5, H, W) reference sample layout (:52-57)
+        out = jnp.concatenate([depth, xyz, rflct], axis=-1)
+        return jnp.transpose(out, (0, 3, 1, 2))
+
+    seeds = np.arange(args.num_samples)
+    # shard seeds across hosts (⇔ accelerate split_batches, :37-46)
+    seeds = seeds[jax.process_index():: jax.process_count()]
+    for lo in range(0, len(seeds), args.batch_size):
+        batch_seeds = seeds[lo : lo + args.batch_size]
+        keys = key_batch_from_seeds(batch_seeds.tolist())
+        samples = np.asarray(
+            sample_batch(ddpm.variables, keys, batch_size=len(batch_seeds))
+        )
+        for seed, sample in zip(batch_seeds, samples):
+            np.savez_compressed(
+                save_dir / f"samples_{seed:010d}.npz", sample=sample
+            )
+        print(f"[{lo + len(batch_seeds)}/{len(seeds)}] saved", flush=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--num_samples", type=int, default=10_000)
+    parser.add_argument("--num_steps", type=int, default=256)
+    parser.add_argument("--mode", choices=["ddpm", "ddim"], default="ddpm")
+    main(parser.parse_args())

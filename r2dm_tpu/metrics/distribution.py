@@ -1,0 +1,46 @@
+"""Feature-distribution metrics: Fréchet distance + kernel MMD.
+
+Behavior-matches reference ``metrics/distribution.py:5-27``. The matrix
+square root runs on host via scipy (FID convention; matrices are at most
+4096^2 here) — everything else is numpy. ``compute_squared_mmd`` takes an
+optional seed (the reference consumes global np.random state)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.linalg
+
+
+def compute_frechet_distance(feats1: np.ndarray, feats2: np.ndarray) -> float:
+    """FID-style 2-Wasserstein^2 between Gaussian fits (reference :5-13)."""
+    mu1, sigma1 = np.mean(feats1, axis=0), np.cov(feats1, rowvar=False)
+    mu2, sigma2 = np.mean(feats2, axis=0), np.cov(feats2, rowvar=False)
+    m = np.square(mu1 - mu2).sum()
+    s = scipy.linalg.sqrtm(np.dot(sigma1, sigma2))
+    if isinstance(s, tuple):  # older scipy (disp=False) returns (sqrtm, err)
+        s = s[0]
+    return float(np.real(m + np.trace(sigma1 + sigma2 - s * 2)))
+
+
+def compute_squared_mmd(
+    feats1: np.ndarray,
+    feats2: np.ndarray,
+    num_subsets: int = 100,
+    max_subset_size: int = 1000,
+    seed: Optional[int] = None,
+) -> float:
+    """Polynomial-kernel ((x.y/n + 1)^3) MMD^2 over random subsets
+    (reference :16-27)."""
+    rng = np.random.default_rng(seed) if seed is not None else np.random
+    n = feats1.shape[1]
+    m = min(min(feats1.shape[0], feats2.shape[0]), max_subset_size)
+    t = 0.0
+    for _ in range(num_subsets):
+        x = feats2[rng.choice(feats2.shape[0], m, replace=False)]
+        y = feats1[rng.choice(feats1.shape[0], m, replace=False)]
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.diag(a).sum()) / (m - 1) - b.sum() * 2 / m
+    return float(t / num_subsets / m)

@@ -539,6 +539,190 @@ def gen_split_tables():
     print("splits: saved")
 
 
+# ---------------------------------------------------------------- metrics
+def _fake_torchvision():
+    """torchvision is not installed; the reference only uses
+    transforms.Normalize (channelwise standardization)."""
+    import types
+
+    mod = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(1, -1, 1, 1)
+            self.std = torch.tensor(std).view(1, -1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean.to(x)) / self.std.to(x)
+
+    transforms.Normalize = Normalize
+    mod.transforms = transforms
+    sys.modules.setdefault("torchvision", mod)
+    sys.modules.setdefault("torchvision.transforms", transforms)
+
+
+def gen_metrics_bev_dist():
+    from metrics.bev import compute_jsd_2d, compute_mmd_2d, point_cloud_to_histogram
+    from metrics.distribution import compute_frechet_distance, compute_squared_mmd
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(-90, 90, (5000, 3)).astype(np.float32)
+    hist = point_cloud_to_histogram(torch.from_numpy(pts))
+    hists1 = torch.stack(
+        [
+            point_cloud_to_histogram(
+                torch.from_numpy(rng.uniform(-80, 80, (3000, 3)).astype(np.float32))
+            )
+            for _ in range(4)
+        ]
+    )
+    hists2 = torch.stack(
+        [
+            point_cloud_to_histogram(
+                torch.from_numpy(
+                    rng.normal(0, 30, (3000, 3)).astype(np.float32)
+                )
+            )
+            for _ in range(4)
+        ]
+    )
+    jsd = compute_jsd_2d(hists1, hists2)
+    mmd = compute_mmd_2d(hists1, hists2)
+
+    feats1 = rng.standard_normal((64, 32)).astype(np.float64)
+    feats2 = (rng.standard_normal((64, 32)) * 1.3 + 0.2).astype(np.float64)
+    fd = compute_frechet_distance(feats1, feats2)
+    np.random.seed(123)
+    smmd = compute_squared_mmd(feats1, feats2, num_subsets=10, max_subset_size=32)
+    save(
+        "metrics_basic",
+        pts=pts,
+        hist=t2n(hist),
+        hists1=t2n(hists1),
+        hists2=t2n(hists2),
+        jsd=np.array(jsd),
+        mmd=np.array(mmd),
+        feats1=feats1,
+        feats2=feats2,
+        fd=np.array(fd),
+        smmd_seed123=np.array(smmd),
+    )
+
+
+def gen_pointnet():
+    from metrics.extractor.pointnet import PointNet1
+
+    net = PointNet1(k=16)
+    # randomize incl. BN running stats (var must stay positive)
+    g = torch.Generator().manual_seed(99)
+    sd = net.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+        else:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    net.load_state_dict(sd)
+    net.eval()
+    rng = np.random.default_rng(41)
+    pts = rng.standard_normal((2, 3, 512)).astype(np.float32)
+    with torch.no_grad():
+        feats = net(torch.from_numpy(pts))
+    save(
+        "pointnet",
+        pts=pts,
+        feats=t2n(feats),
+        **{
+            f"sd::{k}": t2n(v).astype(np.float16)
+            for k, v in net.state_dict().items()
+            if not k.endswith("num_batches_tracked")
+        },
+    )
+
+
+def gen_rangenet_blocks():
+    _fake_torchvision()
+    from metrics.extractor.rangenet import Block, ConvNormLReLU, Preprocess
+
+    g = torch.Generator().manual_seed(7)
+
+    def randomize(mod):
+        sd = mod.state_dict()
+        for k, v in sd.items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            if k.endswith("running_var"):
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        mod.load_state_dict(sd)
+        mod.eval()
+        return mod
+
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((2, 8, 4, 64)).astype(np.float32)
+
+    stem = randomize(ConvNormLReLU(8, 16, 3, 1, 1, 0.01))
+    down = randomize(Block(8, 16, 2, 0.01, "down"))
+    up = randomize(Block(8, 4, 1, 0.01, "up"))
+    out = {}
+    with torch.no_grad():
+        out["stem_out"] = t2n(stem(torch.from_numpy(x)))
+        out["down_out"] = t2n(down(torch.from_numpy(x)))
+        out["up_out"] = t2n(up(torch.from_numpy(x)))
+    pre = Preprocess()
+    img = rng.uniform(0, 30, (2, 5, 4, 64)).astype(np.float32)
+    img[:, 0] *= (rng.uniform(0, 1, (2, 4, 64)) > 0.3)
+    with torch.no_grad():
+        out["pre_in"] = img
+        out["pre_out"] = t2n(pre(torch.from_numpy(img)))
+    sds = {}
+    for name, mod in (("stem", stem), ("down", down), ("up", up)):
+        for k, v in mod.state_dict().items():
+            if not k.endswith("num_batches_tracked"):
+                sds[f"sd_{name}::{k}"] = t2n(v)
+    save("rangenet_blocks", x=x, **out, **sds)
+
+
+def gen_postprocessors():
+    _fake_torchvision()
+    from metrics.extractor.rangenet import CRFRNN, kNN
+
+    rng = np.random.default_rng(47)
+    B, H, W, N = 2, 8, 32, 6
+    depth = rng.uniform(0, 50, (B, 1, H, W)).astype(np.float32)
+    depth[rng.uniform(0, 1, depth.shape) < 0.2] = -1.0  # invalid
+    label = rng.integers(0, N, (B, H, W))
+    knn_mod = kNN(num_classes=N)
+    with torch.no_grad():
+        refined = knn_mod(torch.from_numpy(depth), torch.from_numpy(label))
+
+    unary = rng.standard_normal((B, N, H, W)).astype(np.float32)
+    xyz = rng.standard_normal((B, 3, H, W)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (B, H, W)) > 0.2).astype(np.float32)
+    crf = CRFRNN(num_classes=N)
+    crf.eval()
+    with torch.no_grad():
+        crf_out = crf(
+            torch.from_numpy(unary), torch.from_numpy(xyz), torch.from_numpy(mask)
+        )
+    save(
+        "postprocessors",
+        depth=depth,
+        label=label.astype(np.int64),
+        knn_refined=t2n(refined),
+        unary=unary,
+        xyz=xyz,
+        mask=mask,
+        crf_out=t2n(crf_out),
+        crf_weight_appearance=t2n(crf.weight_appearance),
+        crf_weight_smoothness=t2n(crf.weight_smoothness),
+        crf_compat=t2n(crf.label_compatibility.weight),
+    )
+
+
 if __name__ == "__main__":
     gen_resample()
     gen_ops_misc()
@@ -551,4 +735,8 @@ if __name__ == "__main__":
     gen_projection()
     gen_split_tables()
     gen_render()
+    gen_metrics_bev_dist()
+    gen_pointnet()
+    gen_rangenet_blocks()
+    gen_postprocessors()
     print("done ->", OUT)

@@ -76,6 +76,7 @@ class TrainingConfig:
     # implicitly for the reference, train.py:45-53).
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on "data"
     resume: Optional[str] = None  # checkpoint dir to resume from
+    profile_dir: Optional[str] = None  # capture a JAX device trace of steps 10-15
 
 
 @dataclass

@@ -147,8 +147,15 @@ def train(cfg: config_lib.Config) -> None:
             mesh, {k: jnp.asarray(v) for k, v in raw.items() if k != "sample_id"}
         )
         step_key = jax.random.fold_in(root_key, global_step)
+        if tcfg.profile_dir and global_step - start_step == 10:
+            jax.profiler.start_trace(tcfg.profile_dir)
         state, metrics = step_fn(state, batch, step_key, None)
         global_step += 1
+        if tcfg.profile_dir and global_step - start_step == 15:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            if is_main:
+                print(f"profile trace written to {tcfg.profile_dir}")
 
         if global_step % 50 == 0 or global_step == 1:
             m = {k: float(v) for k, v in metrics.items()}

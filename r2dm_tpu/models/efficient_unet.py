@@ -120,6 +120,10 @@ class EfficientUNet(nn.Module):
     dropout: float = 0.0
     ring: bool = True
     dtype: Optional[Dtype] = None
+    # rematerialize each U-Net level on the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(levels) activation memory,
+    # enabling larger per-chip batches (HBM is the usual TPU bottleneck)
+    remat: bool = False
 
     def coords_channels(self) -> int:
         if self.coords_encoding == "spherical_harmonics":
@@ -182,19 +186,20 @@ class EfficientUNet(nn.Module):
             dtype=self.dtype,
         )
 
+        Block = nn.remat(UNetBlock) if self.remat else UNetBlock
         h = RingConv(C[0], ring=self.ring, dtype=self.dtype, name="in_conv")(h)
-        h1 = UNetBlock(C[1], N[0], name="d_block1", **cfg)(h, temb)
-        h2 = UNetBlock(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb)
-        h3 = UNetBlock(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb)
-        h4 = UNetBlock(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb)
-        h = UNetBlock(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb)
-        h = UNetBlock(C[2], N[2], up=2, name="u_block3", **cfg)(
+        h1 = Block(C[1], N[0], name="d_block1", **cfg)(h, temb)
+        h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb)
+        h3 = Block(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb)
+        h4 = Block(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb)
+        h = Block(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb)
+        h = Block(C[2], N[2], up=2, name="u_block3", **cfg)(
             jnp.concatenate([h, h3], axis=-1), temb
         )
-        h = UNetBlock(C[1], N[1], up=2, name="u_block2", **cfg)(
+        h = Block(C[1], N[1], up=2, name="u_block2", **cfg)(
             jnp.concatenate([h, h2], axis=-1), temb
         )
-        h = UNetBlock(C[0], N[0], name="u_block1", **cfg)(
+        h = Block(C[0], N[0], name="u_block1", **cfg)(
             jnp.concatenate([h, h1], axis=-1), temb
         )
         out_ch = self.in_channels if self.out_channels is None else self.out_channels

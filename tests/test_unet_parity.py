@@ -50,6 +50,30 @@ def test_unet_forward_parity(cenc):
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=2e-5)
 
 
+def test_remat_preserves_outputs_and_grads():
+    """remat=True must be numerically identical (it only changes backward
+    memory scheduling) and differentiable."""
+    import jax
+
+    g, sd = load_case("tiny_unet_fourier_features")
+    variables = variables_from_reference(sd)
+    x = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1)))
+    t = jnp.asarray(g["t"])
+    base = EfficientUNet(coords_encoding="fourier_features", **TINY)
+    remat = EfficientUNet(coords_encoding="fourier_features", remat=True, **TINY)
+    y0 = base.apply(variables, x, t)
+    y1 = remat.apply(variables, x, t)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(params):
+        return jnp.sum(
+            remat.apply({**variables, "params": params}, x, t) ** 2
+        )
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(g).all() for g in jax.tree.leaves(grads))
+
+
 def test_unet_param_tree_matches_init():
     """Imported param tree must be structurally identical to a fresh init."""
     import jax

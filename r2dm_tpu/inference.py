@@ -162,8 +162,13 @@ class DDPM:
         ddim_eta: float = 0.0,
         return_all: bool = False,
         data_format: str = "NCHW",
+        mesh=None,
     ) -> jnp.ndarray:
-        sig = ("sample", batch_size, num_steps, mode, float(ddim_eta), return_all)
+        """Generate scans; with ``mesh`` the batch is sharded over the mesh's
+        'data' axis — XLA partitions the whole sampling scan across chips
+        (the serving-side counterpart of the trainer's data parallelism)."""
+        sig = ("sample", batch_size, num_steps, mode, float(ddim_eta), return_all,
+               id(mesh) if mesh is not None else None)
         if sig not in self._jit_cache:
             if isinstance(self.diffusion, DiscreteTimeGaussianDiffusion):
                 fn = partial(
@@ -183,7 +188,18 @@ class DDPM:
                     ddim_eta=ddim_eta,
                     return_all=return_all,
                 )
-            self._jit_cache[sig] = jax.jit(fn)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_axes = (None, "data") if return_all else ("data",)
+                out = NamedSharding(mesh, P(*batch_axes, None, None, None))
+                self._jit_cache[sig] = jax.jit(
+                    fn,
+                    in_shardings=(NamedSharding(mesh, P()), None),
+                    out_shardings=out,
+                )
+            else:
+                self._jit_cache[sig] = jax.jit(fn)
         x = self._jit_cache[sig](self.variables, self._key(key, seeds))
         if data_format == "NCHW":
             perm = (0, 3, 1, 2) if not return_all else (0, 1, 4, 2, 3)
@@ -281,6 +297,11 @@ def setup_model(
         data_format="NCHW",
     )
     return ddpm, lidar_utils, cfg
+
+
+# per-seed rng factory parity (reference utils/inference.py:113-114 returns
+# a list of torch.Generators; ours returns a batch of PRNG keys)
+setup_rng = key_batch_from_seeds
 
 
 PRETRAINED_CONFIGS = (

@@ -1,0 +1,75 @@
+"""Hub-surface tests: hubconf imports, mesh-parallel sampling, setup_rng."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_hubconf_imports():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import hubconf
+
+    assert callable(hubconf.pretrained_r2dm)
+    assert callable(hubconf.rangenet53)
+    assert callable(hubconf.knn(num_classes=20))
+    crf = hubconf.crf_rnn(num_classes=4)
+    out = crf(
+        jnp.zeros((1, 8, 16, 4)), jnp.zeros((1, 8, 16, 3)), jnp.ones((1, 8, 16))
+    )
+    assert out.shape == (1, 8, 16, 4)
+
+
+def test_pretrained_r2dm_missing_ckpt_message():
+    from r2dm_tpu import pretrained_r2dm
+
+    with pytest.raises(FileNotFoundError, match="r2dm-h-kitti360-300k"):
+        pretrained_r2dm()
+
+
+def test_setup_rng_alias():
+    from r2dm_tpu.inference import setup_rng
+
+    keys = setup_rng([3, 4, 5])
+    assert keys.shape == (3,)
+
+
+def test_mesh_parallel_sampling():
+    """DDPM.sample(mesh=...) must shard the output batch over the data axis
+    and agree with the unsharded sampler."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from r2dm_tpu.config import Config, DataConfig, ModelConfig
+    from r2dm_tpu.inference import DDPM, build_diffusion, build_model, model_coords
+    from r2dm_tpu.parallel import make_mesh
+
+    cfg = Config(
+        data=DataConfig(resolution=(16, 64)),
+        model=ModelConfig(
+            base_channels=8,
+            channel_multiplier=(1, 2, 2, 2),
+            num_residual_blocks=(1, 1, 1, 1),
+            gn_num_groups=4,
+            attn_num_heads=2,
+        ),
+    )
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 64, 2)), jnp.zeros((1,))
+    )
+    variables = {**variables, "buffers": {"coords": jnp.asarray(model_coords(cfg))}}
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    mesh = make_mesh((8,))
+    x_sharded = ddpm.sample(
+        batch_size=8, num_steps=2, seeds=list(range(8)), mesh=mesh,
+        data_format="NHWC",
+    )
+    assert x_sharded.shape == (8, 16, 64, 2)
+    x_single = ddpm.sample(
+        batch_size=8, num_steps=2, seeds=list(range(8)), data_format="NHWC"
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_sharded), np.asarray(x_single), atol=1e-5
+    )

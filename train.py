@@ -42,6 +42,12 @@ from r2dm_tpu.utils.logging import MetricLogger, save_image_panels
 
 def train(cfg: config_lib.Config) -> None:
     tcfg = cfg.training
+    # multi-host: when launched under a JAX coordinator (TPU pod slices),
+    # initialize the distributed runtime so jax.process_index()/count and
+    # cross-host collectives work (⇔ `accelerate launch`, reference
+    # README.md:64). No-op for single-host runs.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
     out_dir = tcfg.output_dir
     is_main = jax.process_index() == 0
     if is_main:

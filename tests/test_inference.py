@@ -67,7 +67,7 @@ def test_ddpm_sample_nchw_surface(tiny_setup):
     x2 = ddpm.sample(batch_size=2, num_steps=2, seeds=[5, 6], data_format="NHWC")
     assert x2.shape == (2, 16, 64, 2)
     # jit cache reuse: same signature must not recompile (same object out)
-    assert ("sample", 2, 2, "ddpm", 0.0, False) in ddpm._jit_cache
+    assert ("sample", 2, 2, "ddpm", 0.0, False, None) in ddpm._jit_cache
 
 
 def test_native_checkpoint_roundtrip(tmp_path, tiny_setup):

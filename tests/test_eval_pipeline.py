@@ -1,0 +1,82 @@
+"""End-to-end eval pipeline: tiny checkpoint -> sample_and_save -> evaluate
+with random extractors (metric values are meaningless; the plumbing — file
+formats, caching, feature extraction, metric math — is what's under test)."""
+
+import argparse
+import importlib.util
+import json
+import sys
+from glob import glob
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+def load_script(name):
+    spec = importlib.util.spec_from_file_location(name, REPO / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_sample_and_evaluate_chain(tmp_path, monkeypatch):
+    from r2dm_tpu.checkpoint import save_checkpoint
+    from r2dm_tpu.config import Config, DataConfig, ModelConfig, asdict
+    from r2dm_tpu.inference import build_model, model_coords
+
+    monkeypatch.chdir(tmp_path)  # evaluate writes its real-set cache to cwd
+    cfg = Config(
+        data=DataConfig(
+            dataset="synthetic", resolution=(16, 128), projection="spherical-256"
+        ),
+        model=ModelConfig(
+            base_channels=8,
+            channel_multiplier=(1, 2, 2, 2),
+            num_residual_blocks=(1, 1, 1, 1),
+            gn_num_groups=4,
+            attn_num_heads=2,
+        ),
+    )
+    model = build_model(cfg)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 16, 128, 2)), jnp.zeros((1,)))
+    variables = {
+        "params": v["params"],
+        "buffers": {"coords": jnp.asarray(model_coords(cfg))},
+    }
+    ckpt = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(ckpt, asdict(cfg), variables, ema_weights=variables, step=1)
+
+    sas = load_script("sample_and_save")
+    out_dir = str(tmp_path / "samples")
+    sas.main(
+        argparse.Namespace(
+            ckpt=ckpt, output_dir=out_dir, batch_size=4, num_samples=6,
+            num_steps=2, mode="ddpm",
+        )
+    )
+    files = sorted(glob(out_dir + "/*.npz"))
+    assert len(files) == 6
+    sample = np.load(files[0])["sample"]
+    assert sample.shape == (5, 16, 128)
+
+    ev = load_script("evaluate")
+    ev.main(
+        argparse.Namespace(
+            ckpt=ckpt, sample_dir=out_dir, dataset="all", data_root=None,
+            batch_size=8, rangenet_tar=None, pointnet_ckpt=None,
+            allow_random_extractors=True,
+        )
+    )
+    results_files = glob(out_dir + "_*.json")
+    assert results_files
+    results = json.load(open(results_files[0]))
+    for section in ("img", "pts", "bev"):
+        for k, val in results[section].items():
+            assert np.isfinite(val), (section, k)
+    assert results["info"]["#fake"] == 6

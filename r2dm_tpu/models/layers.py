@@ -146,6 +146,25 @@ class RingConv(nn.Module):
         )(x)
 
 
+def group_norm_coeffs(
+    x: jnp.ndarray, num_groups: int, eps: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, channel) fp32 (a, b) such that GN(x) == x * a + b."""
+    B, H, W, C = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))  # (B, C) fp32
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))
+    cnt = H * W * (C // G)
+    g1 = s1.reshape(B, G, C // G).sum(-1, keepdims=True) / cnt  # group mean
+    g2 = s2.reshape(B, G, C // G).sum(-1, keepdims=True) / cnt
+    var = jnp.maximum(g2 - jnp.square(g1), 0.0)
+    inv = jax.lax.rsqrt(var + eps)  # (B, G, 1)
+    a = jnp.broadcast_to(inv, (B, G, C // G)).reshape(B, C)
+    b = jnp.broadcast_to(-g1 * inv, (B, G, C // G)).reshape(B, C)
+    return a, b
+
+
 def group_norm(
     x: jnp.ndarray,
     num_groups: int,
@@ -163,24 +182,20 @@ def group_norm(
     """
     B, H, W, C = x.shape
     G = num_groups
-    xg = x.reshape(B, H, W, G, C // G)
-    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(
-        jnp.square(xg.astype(jnp.float32) - mean), axis=(1, 2, 4), keepdims=True
-    )
-    inv = jax.lax.rsqrt(var + eps)  # (B,1,1,G,1) fp32
-    a = inv
-    b = -mean * inv
+    # lane-aligned statistics: reduce (B,H,W,C) -> (B,C) per channel (C stays
+    # in the 128-lane minor dim — the group-reshaped reduce was 53% of the
+    # U-Net's device time), then combine channels per group on the tiny
+    # (B,C) result. Var via E[x^2]-E[x]^2 in fp32 (both sums read x once and
+    # multi-output-fuse into a single pass).
+    a, b = group_norm_coeffs(x, G, eps)
     if scale is not None:
-        s = scale.astype(jnp.float32).reshape(1, 1, 1, G, C // G)
+        s = scale.astype(jnp.float32)
         a = a * s
         b = b * s
     if bias is not None:
-        b = b + bias.astype(jnp.float32).reshape(1, 1, 1, G, C // G)
-    a = jnp.broadcast_to(a, (B, 1, 1, G, C // G)).astype(x.dtype)
-    b = jnp.broadcast_to(b, (B, 1, 1, G, C // G)).astype(x.dtype)
-    y = xg * a + b
-    return y.reshape(B, H, W, C)
+        b = b + bias.astype(jnp.float32)
+    y = x * a[:, None, None, :].astype(x.dtype) + b[:, None, None, :].astype(x.dtype)
+    return y
 
 
 class GroupNorm(nn.Module):
@@ -211,12 +226,17 @@ class AdaGN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         C = x.shape[-1]
-        h = group_norm(x, self.num_groups, self.eps)
         ss = nn.Dense(2 * C, dtype=self.dtype, name="proj")(nn.silu(emb))
-        scale, shift = jnp.split(ss, 2, axis=-1)
-        scale = scale[:, None, None, :].astype(h.dtype)
-        shift = shift[:, None, None, :].astype(h.dtype)
-        return h * (1 + scale) + shift
+        scale, shift = jnp.split(ss, 2, axis=-1)  # (B, C) each
+        # fold normalization and conditioning into ONE x*a + b pass:
+        # GN(x)*(1+scale) + shift == x*(a*(1+scale)) + (b*(1+scale) + shift)
+        a, b = group_norm_coeffs(x, self.num_groups, self.eps)
+        gain = 1.0 + scale.astype(jnp.float32)
+        a = a * gain
+        b = b * gain + shift.astype(jnp.float32)
+        return x * a[:, None, None, :].astype(x.dtype) + b[
+            :, None, None, :
+        ].astype(x.dtype)
 
 
 class SelfAttention(nn.Module):

@@ -71,7 +71,12 @@ class UNetBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(
+        self,
+        h: jnp.ndarray,
+        temb: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
         if self.down > 1:
             h = RingConv(
                 self.out_channels, ring=self.ring, dtype=self.dtype, name="down_conv"
@@ -86,7 +91,7 @@ class UNetBlock(nn.Module):
                 ring=self.ring,
                 dtype=self.dtype,
                 name=f"res{i}",
-            )(h, temb)
+            )(h, temb, deterministic=deterministic)
         if self.attn:
             h = SelfAttentionBlock(
                 num_heads=self.attn_num_heads,
@@ -135,7 +140,12 @@ class EfficientUNet(nn.Module):
         return 0
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
         B = images.shape[0]
         temb_ch = (
             self.base_channels * 4 if self.temb_channels is None else self.temb_channels
@@ -188,19 +198,19 @@ class EfficientUNet(nn.Module):
 
         Block = nn.remat(UNetBlock) if self.remat else UNetBlock
         h = RingConv(C[0], ring=self.ring, dtype=self.dtype, name="in_conv")(h)
-        h1 = Block(C[1], N[0], name="d_block1", **cfg)(h, temb)
-        h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb)
-        h3 = Block(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb)
-        h4 = Block(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb)
-        h = Block(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb)
+        h1 = Block(C[1], N[0], name="d_block1", **cfg)(h, temb, deterministic)
+        h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb, deterministic)
+        h3 = Block(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb, deterministic)
+        h4 = Block(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb, deterministic)
+        h = Block(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb, deterministic)
         h = Block(C[2], N[2], up=2, name="u_block3", **cfg)(
-            jnp.concatenate([h, h3], axis=-1), temb
+            jnp.concatenate([h, h3], axis=-1), temb, deterministic
         )
         h = Block(C[1], N[1], up=2, name="u_block2", **cfg)(
-            jnp.concatenate([h, h2], axis=-1), temb
+            jnp.concatenate([h, h2], axis=-1), temb, deterministic
         )
         h = Block(C[0], N[0], name="u_block1", **cfg)(
-            jnp.concatenate([h, h1], axis=-1), temb
+            jnp.concatenate([h, h1], axis=-1), temb, deterministic
         )
         out_ch = self.in_channels if self.out_channels is None else self.out_channels
         h = RingConv(

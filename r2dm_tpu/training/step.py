@@ -39,20 +39,34 @@ def init_train_state(params, buffers, tx: optax.GradientTransformation) -> Train
     )
 
 
-def make_train_step(diffusion, tx: optax.GradientTransformation, ema_cfg: EMAConfig):
+def make_train_step(
+    diffusion,
+    tx: optax.GradientTransformation,
+    ema_cfg: EMAConfig,
+    dropout: float = 0.0,
+):
     """Returns ``train_step(state, x_0, key, loss_mask) -> (state, metrics)``.
 
     ``diffusion.loss`` samples timesteps + noise from ``key``
-    (reference base.py:141-149); metrics mirror the reference's logged
-    scalars (train.py:273-277): loss, lr-proxy via grad scale, ema decay.
+    (reference base.py:141-149); with ``dropout > 0`` a dropout rng stream is
+    threaded into the network (training-mode stochasticity; sampling stays
+    deterministic). Metrics mirror the reference's logged scalars
+    (train.py:273-277): loss, grad norm, ema decay.
     """
 
     def train_step(state: TrainState, x_0, key, loss_mask=None):
+        model_kwargs = None
+        if dropout > 0.0:
+            key, dkey = jax.random.split(key)
+            model_kwargs = {"deterministic": False, "rngs": {"dropout": dkey}}
+
         def loss_fn(params):
             variables = {"params": params}
             if state.buffers:
                 variables["buffers"] = state.buffers
-            return diffusion.loss(variables, x_0, key, loss_mask=loss_mask)
+            return diffusion.loss(
+                variables, x_0, key, loss_mask=loss_mask, model_kwargs=model_kwargs
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

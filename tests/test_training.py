@@ -98,6 +98,25 @@ def test_train_step_reduces_loss(tiny_training):
     assert np.isfinite(np.asarray(ema_leaf)).all()
 
 
+def test_train_step_with_dropout():
+    """dropout > 0 must thread a dropout rng (training-mode stochasticity)
+    and keep the loss finite; two different keys give different losses."""
+    net = EfficientUNet(dropout=0.2, **TINY)
+    variables = net.init(
+        jax.random.key(0), jnp.zeros((1, 16, 64, 2)), jnp.zeros((1,))
+    )
+    ddpm = ContinuousTimeGaussianDiffusion(model=net, noise_schedule="cosine")
+    cfg = TrainingConfig(lr=1e-3, lr_warmup_steps=2, num_steps=10)
+    tx, _ = make_optimizer(cfg)
+    state = init_train_state(variables["params"], variables.get("buffers", {}), tx)
+    step_fn = jax.jit(make_train_step(ddpm, tx, EMAConfig(), dropout=0.2))
+    x_0 = jnp.zeros((2, 16, 64, 2))
+    _, m1 = step_fn(state, x_0, jax.random.key(1), None)
+    _, m2 = step_fn(state, x_0, jax.random.key(2), None)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
 def test_train_step_with_loss_mask(tiny_training):
     state, step_fn = tiny_training
     x_0 = jnp.zeros((2, 16, 64, 2))

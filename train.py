@@ -118,8 +118,12 @@ def train(cfg: config_lib.Config) -> None:
     )
 
     # ------------------------------------------------------------ train fns
-    base_step = make_train_step(diffusion, tx, EMAConfig(beta=tcfg.ema_decay,
-                                                         update_every=tcfg.ema_update_every))
+    base_step = make_train_step(
+        diffusion,
+        tx,
+        EMAConfig(beta=tcfg.ema_decay, update_every=tcfg.ema_update_every),
+        dropout=cfg.model.dropout,
+    )
 
     def full_step(state, raw_batch, key, loss_mask=None):
         x_0 = preprocess_batch(

@@ -167,8 +167,10 @@ class DDPM:
         """Generate scans; with ``mesh`` the batch is sharded over the mesh's
         'data' axis — XLA partitions the whole sampling scan across chips
         (the serving-side counterpart of the trainer's data parallelism)."""
+        # Mesh is hashable with content equality — equal meshes share the
+        # compiled sampler
         sig = ("sample", batch_size, num_steps, mode, float(ddim_eta), return_all,
-               id(mesh) if mesh is not None else None)
+               mesh)
         if sig not in self._jit_cache:
             if isinstance(self.diffusion, DiscreteTimeGaussianDiffusion):
                 fn = partial(

@@ -196,7 +196,11 @@ class EfficientUNet(nn.Module):
             dtype=self.dtype,
         )
 
-        Block = nn.remat(UNetBlock) if self.remat else UNetBlock
+        # static_argnums: `deterministic` must stay a Python bool under remat
+        # (flax Dropout branches on it)
+        Block = (
+            nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
+        )
         h = RingConv(C[0], ring=self.ring, dtype=self.dtype, name="in_conv")(h)
         h1 = Block(C[1], N[0], name="d_block1", **cfg)(h, temb, deterministic)
         h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb, deterministic)

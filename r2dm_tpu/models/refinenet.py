@@ -255,7 +255,11 @@ class LiDARGenRefineNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, images: jnp.ndarray, timesteps: Optional[jnp.ndarray] = None
+        self,
+        images: jnp.ndarray,
+        timesteps: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,  # accepted for trainer uniformity; the
+        # reference RefineNet has no dropout (refinenet.py:157-233)
     ) -> jnp.ndarray:
         B, H, W, _ = images.shape
         # [0,1]-normalized (phi, theta) grid buffer (refinenet.py:175-181)

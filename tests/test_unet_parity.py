@@ -74,6 +74,25 @@ def test_remat_preserves_outputs_and_grads():
     assert all(np.isfinite(g).all() for g in jax.tree.leaves(grads))
 
 
+def test_remat_composes_with_dropout():
+    """remat + dropout>0 must not trace the deterministic flag
+    (static_argnums) in either train or eval mode."""
+    import jax
+
+    net = EfficientUNet(
+        coords_encoding=None, remat=True, dropout=0.2, **TINY
+    )
+    x = jnp.zeros((1, 16, 64, 2))
+    t = jnp.zeros((1,))
+    variables = net.init(jax.random.key(0), x, t)
+    y_eval = net.apply(variables, x, t)  # deterministic default
+    assert np.isfinite(np.asarray(y_eval)).all()
+    y_train = net.apply(
+        variables, x, t, False, rngs={"dropout": jax.random.key(1)}
+    )
+    assert np.isfinite(np.asarray(y_train)).all()
+
+
 def test_unet_param_tree_matches_init():
     """Imported param tree must be structurally identical to a fresh init."""
     import jax

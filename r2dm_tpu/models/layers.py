@@ -199,18 +199,45 @@ def group_norm(
     return y
 
 
+# Use the fused GroupNorm+SiLU Pallas kernel (ops/pallas_gn.py) where the
+# activation slab fits VMEM. Inference-only for now (the kernel has no VJP);
+# bench/sampling paths enable it explicitly.
+USE_PALLAS_GN = False
+
+
+def _gn_act(x, num_groups, eps, gain, shift, silu: bool):
+    """GroupNorm + optional SiLU, via the Pallas kernel when enabled."""
+    from ..ops import pallas_gn
+
+    if USE_PALLAS_GN and pallas_gn.supported(x):
+        return pallas_gn.fused_group_norm_silu(
+            x, gain, shift, num_groups, eps, apply_silu=silu
+        )
+    # XLA path: fold normalization + (possibly per-batch) affine into one FMA
+    a, b = group_norm_coeffs(x, num_groups, eps)
+    g = gain.astype(jnp.float32)
+    s = shift.astype(jnp.float32)
+    if g.ndim == 1:
+        g, s = g[None], s[None]
+    a = a * g
+    b = b * g + s
+    y = x * a[:, None, None, :].astype(x.dtype) + b[:, None, None, :].astype(x.dtype)
+    return nn.silu(y) if silu else y
+
+
 class GroupNorm(nn.Module):
-    """Affine GroupNorm (torch nn.GroupNorm parity)."""
+    """Affine GroupNorm (torch nn.GroupNorm parity); optional fused SiLU."""
 
     num_groups: int
     eps: float = 1e-6
+    silu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        return group_norm(x, self.num_groups, self.eps, scale, bias)
+        return _gn_act(x, self.num_groups, self.eps, scale, bias, self.silu)
 
 
 class AdaGN(nn.Module):
@@ -222,6 +249,7 @@ class AdaGN(nn.Module):
 
     num_groups: int
     eps: float = 1e-6
+    silu: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -229,15 +257,13 @@ class AdaGN(nn.Module):
         C = x.shape[-1]
         ss = nn.Dense(2 * C, dtype=self.dtype, name="proj")(nn.silu(emb))
         scale, shift = jnp.split(ss, 2, axis=-1)  # (B, C) each
-        # fold normalization and conditioning into ONE x*a + b pass:
-        # GN(x)*(1+scale) + shift == x*(a*(1+scale)) + (b*(1+scale) + shift)
-        a, b = group_norm_coeffs(x, self.num_groups, self.eps)
+        # GN(x)*(1+scale) + shift folded into one x*a + b pass (+ optional
+        # fused SiLU via the Pallas kernel)
         gain = 1.0 + scale.astype(jnp.float32)
-        a = a * gain
-        b = b * gain + shift.astype(jnp.float32)
-        return x * a[:, None, None, :].astype(x.dtype) + b[
-            :, None, None, :
-        ].astype(x.dtype)
+        return _gn_act(
+            x, self.num_groups, self.eps, gain, shift.astype(jnp.float32),
+            self.silu,
+        )
 
 
 class SelfAttention(nn.Module):
@@ -324,18 +350,17 @@ class ResidualBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm(self.gn_num_groups, self.gn_eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.gn_num_groups, self.gn_eps, silu=True, name="norm1")(x)
         h = RingConv(
             self.out_channels, ring=self.ring, dtype=self.dtype, name="conv1"
         )(h)
         if emb is not None:
-            h = AdaGN(self.gn_num_groups, self.gn_eps, dtype=self.dtype, name="norm2")(
-                h, emb
-            )
+            h = AdaGN(
+                self.gn_num_groups, self.gn_eps, silu=True, dtype=self.dtype,
+                name="norm2",
+            )(h, emb)
         else:
-            h = GroupNorm(self.gn_num_groups, self.gn_eps, name="norm2")(h)
-        h = nn.silu(h)
+            h = GroupNorm(self.gn_num_groups, self.gn_eps, silu=True, name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = RingConv(

@@ -10,6 +10,14 @@ AdaGN conditioning) into per-channel (a, b) -> y = silu(x*a + b) -> DMA out.
 Applicable when the per-sample slab fits VMEM (H*W*C*2B <= ~10 MB — true for
 every level of the 64x1024 config-H U-Net in bf16). Callers fall back to the
 XLA path otherwise (models/layers.py gates on this).
+
+STATUS (round-1 measurement, TPU v5e): 2x SLOWER than the XLA lowering in
+the full U-Net (44.97 s vs 21.70 s for 256-step b32 sampling) — pulling the
+norm out of XLA's producer/consumer fusion graph costs more than the saved
+activation read, and the sequential per-batch DMA does not overlap compute.
+Kept as an off-by-default reference kernel (USE_PALLAS_GN); the profitable
+Pallas target here is a fused residual-block kernel (norm + SiLU + conv +
+skip in one VMEM residency), not a standalone norm.
 """
 
 from __future__ import annotations
@@ -38,33 +46,55 @@ def supported(x: jnp.ndarray) -> bool:
 
 def _gn_silu_kernel(
     x_hbm, affine_ref, out_hbm, scratch, sem_in, sem_out,
-    *, num_groups: int, eps: float, apply_silu: bool,
+    *, channels: int, num_groups: int, eps: float, apply_silu: bool,
 ):
-    """Per-grid-step: one batch row. affine_ref: (2, C) f32 rows (gain, shift)
-    applied AFTER normalization: y = GN(x) * gain + shift."""
+    """Per-grid-step: one batch row of the packed (rows, p*C) view where
+    p = 128//C pixels share a lane row (HBM slices need 128-aligned lanes).
+    affine_ref: (1, 2, p*C) f32 (tiled gain, shift) applied AFTER
+    normalization: y = GN(x) * gain + shift."""
     b = pl.program_id(0)
     copy_in = pltpu.make_async_copy(x_hbm.at[b], scratch, sem_in)
     copy_in.start()
     copy_in.wait()
 
-    xf = scratch[...].astype(jnp.float32)  # (HW, C)
-    HW, C = xf.shape
-    G = num_groups
-    s1 = jnp.sum(xf, axis=0).reshape(G, C // G)
-    s2 = jnp.sum(xf * xf, axis=0).reshape(G, C // G)
-    cnt = HW * (C // G)
-    mean = jnp.sum(s1, axis=1, keepdims=True) / cnt  # (G, 1)
-    ex2 = jnp.sum(s2, axis=1, keepdims=True) / cnt
-    var = jnp.maximum(ex2 - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)  # (G, 1)
-    gain = affine_ref[0, 0, :].reshape(1, C).astype(jnp.float32)
-    shift = affine_ref[0, 1, :].reshape(1, C).astype(jnp.float32)
-    a = jnp.broadcast_to(inv, (G, C // G)).reshape(1, C) * gain
-    bb = jnp.broadcast_to(-mean * inv, (G, C // G)).reshape(1, C) * gain + shift
-    y = xf * a + bb
-    if apply_silu:
-        y = y * jax.nn.sigmoid(y)
-    scratch[...] = y.astype(scratch.dtype)
+    rows, Cp = scratch.shape
+    C, G = channels, num_groups
+    # chunked fp32 passes: the slab stays bf16 in VMEM; only ~2 MB of fp32
+    # temporaries live at a time (whole-slab fp32 would blow scoped VMEM)
+    chunk = min(rows, max(8, (2 * 1024 * 1024) // (Cp * 4)))
+    while rows % chunk:
+        chunk //= 2
+    n_chunks = rows // chunk
+
+    s1 = jnp.zeros((1, Cp), jnp.float32)
+    s2 = jnp.zeros((1, Cp), jnp.float32)
+    for i in range(n_chunks):
+        part = scratch[pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(part, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(part * part, axis=0, keepdims=True)
+    # group combine via a one-hot membership matmul (Mosaic has no
+    # lane-splitting reshape): lane j belongs to group (j % C) // (C // G)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Cp, G), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (Cp, G), 1)
+    member = ((lane % C) // (C // G) == grp).astype(jnp.float32)  # (Cp, G)
+    cnt = rows * (Cp // G)  # == H*W*C/G of the unpacked view
+    mean_g = jnp.dot(s1, member, preferred_element_type=jnp.float32) / cnt  # (1, G)
+    ex2_g = jnp.dot(s2, member, preferred_element_type=jnp.float32) / cnt
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)  # (1, G)
+    # broadcast back to lanes
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
+    gain = affine_ref[0, 0, :].reshape(1, Cp).astype(jnp.float32)
+    shift = affine_ref[0, 1, :].reshape(1, Cp).astype(jnp.float32)
+    a = inv_c * gain
+    bb = (-mean_c * inv_c) * gain + shift
+    for i in range(n_chunks):
+        part = scratch[pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        y = part * a + bb
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        scratch[pl.ds(i * chunk, chunk), :] = y.astype(scratch.dtype)
 
     copy_out = pltpu.make_async_copy(scratch, out_hbm.at[b], sem_out)
     copy_out.start()
@@ -87,25 +117,32 @@ def fused_group_norm_silu(
         gain = jnp.broadcast_to(gain[None], (B, C))
     if shift.ndim == 1:
         shift = jnp.broadcast_to(shift[None], (B, C))
-    affine = jnp.stack([gain, shift], axis=1).astype(jnp.float32)  # (B, 2, C)
+    # pack p pixels per 128-lane row so HBM slices stay lane-aligned
+    p = max(1, 128 // C)
+    rows = (H * W) // p
+    Cp = C * p
+    affine = jnp.stack(
+        [jnp.tile(gain, (1, p)), jnp.tile(shift, (1, p))], axis=1
+    ).astype(jnp.float32)  # (B, 2, Cp)
 
     kernel = partial(
-        _gn_silu_kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu
+        _gn_silu_kernel, channels=C, num_groups=num_groups, eps=eps,
+        apply_silu=apply_silu,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H * W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, rows, Cp), x.dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec((1, 2, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, Cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((H * W, C), x.dtype),
+            pltpu.VMEM((rows, Cp), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x.reshape(B, H * W, C), affine)
+    )(x.reshape(B, rows, Cp), affine)
     return out.reshape(B, H, W, C)

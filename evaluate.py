@@ -107,8 +107,17 @@ def main(args):
     results["info"]["directory"] = args.sample_dir
 
     # ------------------------------------------------------------- real set
+    # the cache key must include the extractor identity: features from
+    # random-weight extractors must never be reused against pretrained ones
+    import os as _os
+
+    ext_tag = (
+        f"{_os.path.basename(args.rangenet_tar) if args.rangenet_tar else 'randomRN'}"
+        f"-{_os.path.basename(args.pointnet_ckpt) if args.pointnet_ckpt else 'randomPN'}"
+    )
     cache = Path(
-        f"real_set_{cfg.data.dataset}_{cfg.data.projection}_{H}x{W}_{args.dataset}.pkl"
+        f"real_set_{cfg.data.dataset}_{cfg.data.projection}_{H}x{W}_"
+        f"{args.dataset}_{ext_tag}.pkl"
     )
     if cache.exists():
         print(f"found cached {cache}")

@@ -78,6 +78,11 @@ class DataLoader:
         prefetch: int = 2,
     ):
         assert batch_size % process_count == 0
+        if len(dataset) < batch_size:
+            raise ValueError(
+                f"dataset has {len(dataset)} scans but the global batch size "
+                f"is {batch_size}; the loader would never yield a batch"
+            )
         self.dataset = dataset
         self.global_batch = batch_size
         self.local_batch = batch_size // process_count
@@ -115,9 +120,15 @@ class DataLoader:
 
         def worker():
             for ids in self._index_stream():
+                batch = self._make_batch(ids)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
                 if stop.is_set():
                     return
-                q.put(self._make_batch(ids))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

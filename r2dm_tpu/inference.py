@@ -133,6 +133,7 @@ class DDPM:
         self.cfg = cfg
         self.num_parameters = count_parameters(variables)
         self._jit_cache: dict = {}
+        self._auto_calls = 0  # advances the default rng stream per call
 
     # convenience accessors mirroring the reference module attributes
     @property
@@ -150,7 +151,11 @@ class DDPM:
             return key
         if seeds is not None:
             return key_batch_from_seeds(list(seeds))
-        return jax.random.key(default_seed)
+        # no explicit randomness given: advance an internal stream so
+        # repeated calls produce fresh batches (the reference draws from the
+        # global torch rng; a fixed key would silently return duplicates)
+        self._auto_calls += 1
+        return jax.random.fold_in(jax.random.key(default_seed), self._auto_calls)
 
     def sample(
         self,
@@ -275,14 +280,22 @@ def setup_model(
     ):
         # flat reference state_dict -> flax trees. EMA state_dicts from
         # ema_pytorch carry online_model./ema_model. prefixes; pick EMA.
-        from .utils.torch_import import variables_from_reference
+        from .utils.torch_import import (
+            refinenet_variables_from_reference,
+            variables_from_reference,
+        )
 
         flat = {
             (k[len("ema_model."):] if k.startswith("ema_model.") else k): v
             for k, v in weights.items()
             if not k.startswith(("online_model.", "initted", "step"))
         }
-        variables = variables_from_reference(flat)
+        convert = (
+            refinenet_variables_from_reference
+            if cfg.model.architecture == "refinenet"
+            else variables_from_reference
+        )
+        variables = convert(flat)
     else:
         variables = jax.tree.map(jnp.asarray, weights)
 

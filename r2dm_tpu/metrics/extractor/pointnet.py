@@ -24,19 +24,8 @@ import numpy as np
 Dtype = Any
 
 
-class FrozenBatchNorm(nn.Module):
-    """Inference-mode BatchNorm1d: y = (x - mean) / sqrt(var + eps) * g + b."""
-
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (C,))
-        bias = self.param("bias", nn.initializers.zeros, (C,))
-        mean = self.param("mean", nn.initializers.zeros, (C,))
-        var = self.param("var", nn.initializers.ones, (C,))
-        return (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps)) * scale + bias
+# shared frozen (inference-statistics) BatchNorm, same module as RangeNet's
+from .rangenet import FrozenBatchNorm2d as FrozenBatchNorm  # noqa: E402
 
 
 def _dense_bn_relu(x, features, name, dtype=None):

@@ -195,8 +195,9 @@ def group_norm(
         b = b * s
     if bias is not None:
         b = b + bias.astype(jnp.float32)
-    y = x * a[:, None, None, :].astype(x.dtype) + b[:, None, None, :].astype(x.dtype)
-    return y
+    # fp32 FMA with one final rounding (torch GroupNorm computes fp32)
+    y = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    return y.astype(x.dtype)
 
 
 # Use the fused GroupNorm+SiLU Pallas kernel (ops/pallas_gn.py) where the
@@ -221,8 +222,12 @@ def _gn_act(x, num_groups, eps, gain, shift, silu: bool):
         g, s = g[None], s[None]
     a = a * g
     b = b * g + s
-    y = x * a[:, None, None, :].astype(x.dtype) + b[:, None, None, :].astype(x.dtype)
-    return nn.silu(y) if silu else y
+    # FMA in fp32 registers (casts fuse; same memory traffic), single final
+    # rounding to x.dtype — avoids bf16 cancellation when |mean| >> std
+    y = (x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :])
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
 
 
 class GroupNorm(nn.Module):

@@ -112,7 +112,9 @@ def bilinear_align_corners(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray
 
     def interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
         if n_out == 1 or n_in == 1:
-            return jnp.ones((n_out, n_in), jnp.float32) / n_in
+            # torch align_corners=True with a size-1 dim selects index 0
+            m = jnp.zeros((n_out, n_in), jnp.float32)
+            return m.at[:, 0].set(1.0)
         src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
         lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
         hi = jnp.clip(lo + 1, 0, n_in - 1)

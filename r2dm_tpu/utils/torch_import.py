@@ -204,6 +204,8 @@ def convert_refinenet_state_dict(
 
     for key, raw in sd.items():
         k = key[6:] if key.startswith("model.") else key
+        if _DROP.search(k):  # diffusion-wrapper buffers (beta tables, _dummy)
+            continue
         v = np.asarray(raw, dtype=np.float32)
         if k == "coords":
             buffers["coords"] = np.transpose(v[0], (1, 2, 0))

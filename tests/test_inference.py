@@ -88,6 +88,39 @@ def test_native_checkpoint_roundtrip(tmp_path, tiny_setup):
     assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
 
 
+def test_default_rng_stream_advances(tiny_setup):
+    """sample() without key/seeds must give fresh batches per call (the
+    reference draws from the global torch rng)."""
+    cfg, model, variables = tiny_setup
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    a = ddpm.sample(batch_size=1, num_steps=2)
+    b = ddpm.sample(batch_size=1, num_steps=2)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+
+def test_refinenet_checkpoint_routing():
+    """setup_model must use the RefineNet converter for refinenet configs."""
+    g = np.load(GOLDEN / "tiny_refinenet.npz")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    cfg = Config(
+        data=DataConfig(resolution=(16, 64)),
+        model=ModelConfig(
+            architecture="refinenet", base_channels=8,
+            channel_multiplier=(1, 2, 2, 2),
+        ),
+    )
+    from r2dm_tpu.config import asdict as cfg_asdict
+
+    ckpt = {"cfg": cfg_asdict(cfg), "weights": sd, "global_step": 1}
+    ddpm, lidar_utils, cfg2 = setup_model(ckpt, ema=False)
+    y = ddpm.diffusion.apply_fn(
+        ddpm.variables, jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1))), None
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(g["y"], (0, 2, 3, 1)), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_model_coords_spherical(tiny_setup):
     cfg, _, _ = tiny_setup
     coords = model_coords(cfg)

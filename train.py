@@ -74,7 +74,9 @@ def train(cfg: config_lib.Config) -> None:
         ray_angles=coords,
         data_format="NHWC",
     )
-    num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(init_vars["params"]))
+    from r2dm_tpu.inference import count_parameters
+
+    num_params = count_parameters(init_vars)
     if is_main:
         print(f"number of parameters: {num_params/1e6:.2f}M")  # cf. train.py:111-112
 

@@ -40,7 +40,23 @@ from r2dm_tpu.training import (
 from r2dm_tpu.utils.logging import MetricLogger, save_image_panels
 
 
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache (first full-model compile is ~40 s;
+    subsequent processes reuse it). Opt out with R2DM_NO_COMPILE_CACHE=1."""
+    if os.environ.get("R2DM_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/r2dm_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def train(cfg: config_lib.Config) -> None:
+    _setup_compilation_cache()
     tcfg = cfg.training
     # multi-host: when launched under a JAX coordinator (TPU pod slices),
     # initialize the distributed runtime so jax.process_index()/count and

@@ -68,6 +68,7 @@ class UNetBlock(nn.Module):
     down: int = 1
     dropout: float = 0.0
     ring: bool = True
+    data_format: str = "NHWC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -77,6 +78,10 @@ class UNetBlock(nn.Module):
         temb: Optional[jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if self.data_format == "NCHW":
+            # channels-major is only used on the resample/attention-free
+            # outermost level
+            assert self.down == 1 and self.up == 1 and not self.attn
         if self.down > 1:
             h = RingConv(
                 self.out_channels, ring=self.ring, dtype=self.dtype, name="down_conv"
@@ -89,6 +94,7 @@ class UNetBlock(nn.Module):
                 gn_eps=self.gn_eps,
                 dropout=self.dropout,
                 ring=self.ring,
+                data_format=self.data_format,
                 dtype=self.dtype,
                 name=f"res{i}",
             )(h, temb, deterministic=deterministic)
@@ -129,6 +135,13 @@ class EfficientUNet(nn.Module):
     # trades ~1 extra forward of FLOPs for O(levels) activation memory,
     # enabling larger per-chip batches (HBM is the usual TPU bottleneck)
     remat: bool = False
+    # run the outermost (64-channel) level in channels-major (B,C,H,W)
+    # layout (W in MXU lanes instead of C_out=64). Mathematically identical;
+    # two layout transposes at the level-1/2 boundary. Measured round 1:
+    # NEUTRAL-to-slightly-slower in the integrated sampler (XLA's layout
+    # assignment already handles level 1 there), despite winning in a
+    # standalone A/B — kept as an experiment knob, default off.
+    channels_major_l1: bool = False
 
     def coords_channels(self) -> int:
         if self.coords_encoding == "spherical_harmonics":
@@ -201,9 +214,20 @@ class EfficientUNet(nn.Module):
         Block = (
             nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         )
-        h = RingConv(C[0], ring=self.ring, dtype=self.dtype, name="in_conv")(h)
-        h1 = Block(C[1], N[0], name="d_block1", **cfg)(h, temb, deterministic)
-        h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1, temb, deterministic)
+        l1_df = "NCHW" if self.channels_major_l1 else "NHWC"
+        if self.channels_major_l1:
+            h = jnp.transpose(h, (0, 3, 1, 2))  # level 1 runs channels-major
+        h = RingConv(
+            C[0], ring=self.ring, data_format=l1_df, dtype=self.dtype,
+            name="in_conv",
+        )(h)
+        h1 = Block(C[1], N[0], data_format=l1_df, name="d_block1", **cfg)(
+            h, temb, deterministic
+        )
+        h1_mid = (
+            jnp.transpose(h1, (0, 2, 3, 1)) if self.channels_major_l1 else h1
+        )
+        h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1_mid, temb, deterministic)
         h3 = Block(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb, deterministic)
         h4 = Block(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb, deterministic)
         h = Block(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb, deterministic)
@@ -213,11 +237,18 @@ class EfficientUNet(nn.Module):
         h = Block(C[1], N[1], up=2, name="u_block2", **cfg)(
             jnp.concatenate([h, h2], axis=-1), temb, deterministic
         )
-        h = Block(C[0], N[0], name="u_block1", **cfg)(
-            jnp.concatenate([h, h1], axis=-1), temb, deterministic
+        if self.channels_major_l1:
+            h = jnp.concatenate([jnp.transpose(h, (0, 3, 1, 2)), h1], axis=1)
+        else:
+            h = jnp.concatenate([h, h1], axis=-1)
+        h = Block(C[0], N[0], data_format=l1_df, name="u_block1", **cfg)(
+            h, temb, deterministic
         )
         out_ch = self.in_channels if self.out_channels is None else self.out_channels
         h = RingConv(
-            out_ch, ring=self.ring, zero_init=True, dtype=self.dtype, name="out_conv"
+            out_ch, ring=self.ring, zero_init=True, data_format=l1_df,
+            dtype=self.dtype, name="out_conv",
         )(h)
+        if self.channels_major_l1:
+            h = jnp.transpose(h, (0, 2, 3, 1))
         return h.astype(jnp.float32)

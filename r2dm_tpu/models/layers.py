@@ -43,14 +43,17 @@ class _RingConv3x3(nn.Module):
     features: int
     use_bias: bool = True
     zero_init: bool = False
+    data_format: str = "NHWC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        C_in = x.shape[-1]
+        nhwc = self.data_format == "NHWC"
+        C_in = x.shape[-1] if nhwc else x.shape[1]
         kernel_init = (
             nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         )
+        # params stored HWIO regardless of layout (weight-tree compatible)
         kernel = self.param("kernel", kernel_init, (3, 3, C_in, self.features))
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
@@ -61,10 +64,26 @@ class _RingConv3x3(nn.Module):
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
 
-        dn = ("NHWC", "HWIO", "NHWC")
-        W = x.shape[2]
+        if nhwc:
+            dn = ("NHWC", "HWIO", "NHWC")
+            W = x.shape[2]
+            col_l, col_r = x[:, :, -1:, :], x[:, :, 0:1, :]
+            k_l, k_r = kernel[:, 0:1], kernel[:, 2:3]
+            pad_l = ((0, 0), (0, 0), (0, W - 1), (0, 0))
+            pad_r = ((0, 0), (0, 0), (W - 1, 0), (0, 0))
+            wrap_pad = ((0, 0), (0, 0), (1, 1), (0, 0))
+        else:  # channels-major: W is the minor (lane) axis
+            dn = ("NCHW", "OIHW", "NCHW")
+            kernel = jnp.transpose(kernel, (3, 2, 0, 1))
+            W = x.shape[3]
+            col_l, col_r = x[..., -1:], x[..., 0:1]
+            k_l, k_r = kernel[..., 0:1], kernel[..., 2:3]
+            pad_l = ((0, 0), (0, 0), (0, 0), (0, W - 1))
+            pad_r = ((0, 0), (0, 0), (0, 0), (W - 1, 0))
+            wrap_pad = ((0, 0), (0, 0), (0, 0), (1, 1))
+
         if RING_CONV_IMPL == "pad":
-            xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+            xp = jnp.pad(x, wrap_pad, mode="wrap")
             y = jax.lax.conv_general_dilated(
                 xp, kernel, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn
             )
@@ -72,27 +91,54 @@ class _RingConv3x3(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
             )
-            # wrap corrections: column 0 misses x[:, :, W-1] through kernel
-            # column 0; column W-1 misses x[:, :, 0] through kernel column 2
+            # wrap corrections: column 0 misses x[.., W-1] through kernel
+            # column 0; column W-1 misses x[.., 0] through kernel column 2
             corr_l = jax.lax.conv_general_dilated(
-                x[:, :, -1:, :], kernel[:, 0:1], (1, 1), ((1, 1), (0, 0)),
-                dimension_numbers=dn,
+                col_l, k_l, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn
             )
             corr_r = jax.lax.conv_general_dilated(
-                x[:, :, 0:1, :], kernel[:, 2:3], (1, 1), ((1, 1), (0, 0)),
-                dimension_numbers=dn,
+                col_r, k_r, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn
             )
             if RING_CONV_IMPL == "dus":
-                y = y.at[:, :, 0:1, :].add(corr_l)
-                y = y.at[:, :, -1:, :].add(corr_r)
+                if nhwc:
+                    y = y.at[:, :, 0:1, :].add(corr_l)
+                    y = y.at[:, :, -1:, :].add(corr_r)
+                else:
+                    y = y.at[..., 0:1].add(corr_l)
+                    y = y.at[..., -1:].add(corr_r)
             else:  # "padadd"
-                y = (
-                    y
-                    + jnp.pad(corr_l, ((0, 0), (0, 0), (0, W - 1), (0, 0)))
-                    + jnp.pad(corr_r, ((0, 0), (0, 0), (W - 1, 0), (0, 0)))
-                )
+                y = y + jnp.pad(corr_l, pad_l) + jnp.pad(corr_r, pad_r)
         if bias is not None:
-            y = y + bias.astype(y.dtype)
+            b = bias.astype(y.dtype)
+            y = y + (b if nhwc else b[None, :, None, None])
+        return y
+
+
+class _Conv1x1NCHW(nn.Module):
+    """1x1 conv in channels-major layout; params stored HWIO like nn.Conv."""
+
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C_in = x.shape[1]
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        kernel = self.param("kernel", kernel_init, (1, 1, C_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, jnp.transpose(kernel, (3, 2, 0, 1)), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)[None, :, None, None]
         return y
 
 
@@ -111,6 +157,7 @@ class RingConv(nn.Module):
     ring: bool = True
     use_bias: bool = True
     zero_init: bool = False
+    data_format: str = "NHWC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -122,6 +169,17 @@ class RingConv(nn.Module):
             and self.padding == 1
         ):
             return _RingConv3x3(
+                features=self.features,
+                use_bias=self.use_bias,
+                zero_init=self.zero_init,
+                data_format=self.data_format,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        if self.data_format == "NCHW":
+            # channels-major levels only need 3x3 (above) and 1x1 convs
+            assert tuple(self.kernel_size) == (1, 1) and self.padding == 0
+            return _Conv1x1NCHW(
                 features=self.features,
                 use_bias=self.use_bias,
                 zero_init=self.zero_init,
@@ -147,7 +205,7 @@ class RingConv(nn.Module):
 
 
 def group_norm_coeffs(
-    x: jnp.ndarray, num_groups: int, eps: float
+    x: jnp.ndarray, num_groups: int, eps: float, data_format: str = "NHWC"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(batch, channel) fp32 (a, b) such that GN(x) == x * a + b.
 
@@ -158,11 +216,16 @@ def group_norm_coeffs(
     activations ([-1,1] diffusion inputs; every block re-normalizes). Do not
     reuse for data with a large common offset.
     """
-    B, H, W, C = x.shape
+    if data_format == "NHWC":
+        B, H, W, C = x.shape
+        spatial_axes = (1, 2)
+    else:  # NCHW (channels-major levels)
+        B, C, H, W = x.shape
+        spatial_axes = (2, 3)
     G = num_groups
     xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))  # (B, C) fp32
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))
+    s1 = jnp.sum(xf, axis=spatial_axes)  # (B, C) fp32
+    s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
     cnt = H * W * (C // G)
     g1 = s1.reshape(B, G, C // G).sum(-1, keepdims=True) / cnt  # group mean
     g2 = s2.reshape(B, G, C // G).sum(-1, keepdims=True) / cnt
@@ -206,25 +269,29 @@ def group_norm(
 USE_PALLAS_GN = False
 
 
-def _gn_act(x, num_groups, eps, gain, shift, silu: bool):
+def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
     """GroupNorm + optional SiLU, via the Pallas kernel when enabled."""
     from ..ops import pallas_gn
 
-    if USE_PALLAS_GN and pallas_gn.supported(x):
+    if data_format == "NHWC" and USE_PALLAS_GN and pallas_gn.supported(x):
         return pallas_gn.fused_group_norm_silu(
             x, gain, shift, num_groups, eps, apply_silu=silu
         )
     # XLA path: fold normalization + (possibly per-batch) affine into one FMA
-    a, b = group_norm_coeffs(x, num_groups, eps)
+    a, b = group_norm_coeffs(x, num_groups, eps, data_format)
     g = gain.astype(jnp.float32)
     s = shift.astype(jnp.float32)
     if g.ndim == 1:
         g, s = g[None], s[None]
     a = a * g
     b = b * g + s
+    if data_format == "NHWC":
+        a, b = a[:, None, None, :], b[:, None, None, :]
+    else:
+        a, b = a[:, :, None, None], b[:, :, None, None]
     # FMA in fp32 registers (casts fuse; same memory traffic), single final
     # rounding to x.dtype — avoids bf16 cancellation when |mean| >> std
-    y = (x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :])
+    y = x.astype(jnp.float32) * a + b
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
@@ -236,13 +303,17 @@ class GroupNorm(nn.Module):
     num_groups: int
     eps: float = 1e-6
     silu: bool = False
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[-1]
+        C = x.shape[-1] if self.data_format == "NHWC" else x.shape[1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        return _gn_act(x, self.num_groups, self.eps, scale, bias, self.silu)
+        return _gn_act(
+            x, self.num_groups, self.eps, scale, bias, self.silu,
+            self.data_format,
+        )
 
 
 class AdaGN(nn.Module):
@@ -255,11 +326,12 @@ class AdaGN(nn.Module):
     num_groups: int
     eps: float = 1e-6
     silu: bool = False
+    data_format: str = "NHWC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[-1]
+        C = x.shape[-1] if self.data_format == "NHWC" else x.shape[1]
         ss = nn.Dense(2 * C, dtype=self.dtype, name="proj")(nn.silu(emb))
         scale, shift = jnp.split(ss, 2, axis=-1)  # (B, C) each
         # GN(x)*(1+scale) + shift folded into one x*a + b pass (+ optional
@@ -267,7 +339,7 @@ class AdaGN(nn.Module):
         gain = 1.0 + scale.astype(jnp.float32)
         return _gn_act(
             x, self.num_groups, self.eps, gain, shift.astype(jnp.float32),
-            self.silu,
+            self.silu, self.data_format,
         )
 
 
@@ -345,6 +417,7 @@ class ResidualBlock(nn.Module):
     scale: float = float(1 / np.sqrt(2))
     dropout: float = 0.0
     ring: bool = True
+    data_format: str = "NHWC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -354,24 +427,33 @@ class ResidualBlock(nn.Module):
         emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        in_channels = x.shape[-1]
-        h = GroupNorm(self.gn_num_groups, self.gn_eps, silu=True, name="norm1")(x)
+        df = self.data_format
+        in_channels = x.shape[-1] if df == "NHWC" else x.shape[1]
+        h = GroupNorm(
+            self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+            name="norm1",
+        )(x)
         h = RingConv(
-            self.out_channels, ring=self.ring, dtype=self.dtype, name="conv1"
+            self.out_channels, ring=self.ring, data_format=df,
+            dtype=self.dtype, name="conv1",
         )(h)
         if emb is not None:
             h = AdaGN(
-                self.gn_num_groups, self.gn_eps, silu=True, dtype=self.dtype,
-                name="norm2",
+                self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+                dtype=self.dtype, name="norm2",
             )(h, emb)
         else:
-            h = GroupNorm(self.gn_num_groups, self.gn_eps, silu=True, name="norm2")(h)
+            h = GroupNorm(
+                self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+                name="norm2",
+            )(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = RingConv(
             self.out_channels,
             ring=self.ring,
             zero_init=True,
+            data_format=df,
             dtype=self.dtype,
             name="conv2",
         )(h)
@@ -380,6 +462,7 @@ class ResidualBlock(nn.Module):
                 self.out_channels,
                 kernel_size=(1, 1),
                 padding=0,
+                data_format=df,
                 dtype=self.dtype,
                 name="skip",
             )(x)

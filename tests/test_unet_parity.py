@@ -74,6 +74,21 @@ def test_remat_preserves_outputs_and_grads():
     assert all(np.isfinite(g).all() for g in jax.tree.leaves(grads))
 
 
+def test_channels_major_l1_parity():
+    """channels_major_l1=True must be numerically identical (pure layout
+    change) using the same weight tree."""
+    g, sd = load_case("tiny_unet_fourier_features")
+    variables = variables_from_reference(sd)
+    x = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1)))
+    t = jnp.asarray(g["t"])
+    net = EfficientUNet(
+        coords_encoding="fourier_features", channels_major_l1=True, **TINY
+    )
+    y = net.apply(variables, x, t)
+    expected = np.transpose(g["y"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=5e-5)
+
+
 def test_remat_composes_with_dropout():
     """remat + dropout>0 must not trace the deterministic flag
     (static_argnums) in either train or eval mode."""

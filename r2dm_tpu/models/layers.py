@@ -372,6 +372,9 @@ class SelfAttention(nn.Module):
             return t.reshape(B, H * W, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        # NOTE: the Pallas TPU flash_attention kernel was measured SLOWER
+        # here (1.31 vs 1.47 img/s end-to-end) — at 1024 bottleneck tokens
+        # XLA's attention is already efficient; don't swap it out.
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(hd)

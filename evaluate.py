@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import hashlib
+import os
 import json
 import pickle
 import random
@@ -109,11 +111,15 @@ def main(args):
     # ------------------------------------------------------------- real set
     # the cache key must include the extractor identity: features from
     # random-weight extractors must never be reused against pretrained ones
-    import os as _os
+    def _ident(path, fallback):
+        if not path:
+            return fallback
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+        return f"{os.path.basename(path)}.{digest}"
 
     ext_tag = (
-        f"{_os.path.basename(args.rangenet_tar) if args.rangenet_tar else 'randomRN'}"
-        f"-{_os.path.basename(args.pointnet_ckpt) if args.pointnet_ckpt else 'randomPN'}"
+        f"{_ident(args.rangenet_tar, 'randomRN')}-"
+        f"{_ident(args.pointnet_ckpt, 'randomPN')}"
     )
     cache = Path(
         f"real_set_{cfg.data.dataset}_{cfg.data.projection}_{H}x{W}_"

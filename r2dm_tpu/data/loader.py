@@ -118,22 +118,30 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
-            for ids in self._index_stream():
-                batch = self._make_batch(ids)
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
-                    return
+            try:
+                for ids in self._index_stream():
+                    if not put(self._make_batch(ids)):
+                        return
+            except BaseException as exc:  # surface worker errors, don't hang
+                put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()

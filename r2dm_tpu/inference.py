@@ -153,7 +153,14 @@ class DDPM:
             return key_batch_from_seeds(list(seeds))
         # no explicit randomness given: advance an internal stream so
         # repeated calls produce fresh batches (the reference draws from the
-        # global torch rng; a fixed key would silently return duplicates)
+        # global torch rng; a fixed key would silently return duplicates).
+        # Multi-host runs must pass the key explicitly — a per-process
+        # counter can silently desynchronize a replicated key across hosts.
+        if jax.process_count() > 1:
+            raise ValueError(
+                "multi-host sampling needs an explicit key= or seeds= "
+                "(the implicit per-process rng stream would desynchronize)"
+            )
         self._auto_calls += 1
         return jax.random.fold_in(jax.random.key(default_seed), self._auto_calls)
 

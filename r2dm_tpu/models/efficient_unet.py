@@ -214,6 +214,11 @@ class EfficientUNet(nn.Module):
         Block = (
             nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         )
+        if self.channels_major_l1 and not self.ring:
+            raise ValueError(
+                "channels_major_l1 requires ring convolutions (the NCHW fast "
+                "path only implements the ring 3x3 / 1x1 cases)"
+            )
         l1_df = "NCHW" if self.channels_major_l1 else "NHWC"
         if self.channels_major_l1:
             h = jnp.transpose(h, (0, 3, 1, 2))  # level 1 runs channels-major

@@ -36,11 +36,14 @@ MAX_SLAB_BYTES = 10 * 1024 * 1024
 
 def supported(x: jnp.ndarray) -> bool:
     B, H, W, C = x.shape
+    p = max(1, 128 // C)  # pixel-packing factor used by the kernel
+    lanes_ok = (128 % C == 0) if C < 128 else (C % 128 == 0)
     return (
         x.dtype == jnp.bfloat16
         and (H * W * C) * 2 <= MAX_SLAB_BYTES
         and C % 8 == 0
-        and (H * W) % 8 == 0
+        and (H * W) % max(8, p) == 0
+        and lanes_ok
     )
 
 

@@ -27,7 +27,12 @@ import numpy as np
 from r2dm_tpu import config as config_lib
 from r2dm_tpu.checkpoint import load_checkpoint, restore_opt_state, save_checkpoint
 from r2dm_tpu.data import DataLoader, make_dataset, preprocess_batch
-from r2dm_tpu.inference import build_diffusion, build_model, model_coords
+from r2dm_tpu.inference import (
+    build_diffusion,
+    build_model,
+    count_parameters,
+    model_coords,
+)
 from r2dm_tpu.lidar import LiDARUtility
 from r2dm_tpu.parallel import make_mesh, replicated, shard_batch
 from r2dm_tpu.training import (
@@ -90,8 +95,6 @@ def train(cfg: config_lib.Config) -> None:
         ray_angles=coords,
         data_format="NHWC",
     )
-    from r2dm_tpu.inference import count_parameters
-
     num_params = count_parameters(init_vars)
     if is_main:
         print(f"number of parameters: {num_params/1e6:.2f}M")  # cf. train.py:111-112

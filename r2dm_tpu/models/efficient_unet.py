@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import encoding as enc
+from ..ops import w2c
 from ..ops.resample import downsample2x, upsample2x
 from .layers import ResidualBlock, RingConv, SelfAttentionBlock
 
@@ -69,6 +70,11 @@ class UNetBlock(nn.Module):
     dropout: float = 0.0
     ring: bool = True
     data_format: str = "NHWC"
+    align_in: str = "offset"  # W2C levels: resblock phase alignment
+    # NHWC up-block feeding a W2C level: after the FIR upsample, merge width
+    # pairs and run up_conv at full MXU width; returns a MERGED tensor with
+    # "offset" alignment (ops/w2c.py)
+    w2c_up: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -78,9 +84,9 @@ class UNetBlock(nn.Module):
         temb: Optional[jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        if self.data_format == "NCHW":
-            # channels-major is only used on the resample/attention-free
-            # outermost level
+        if self.data_format in ("NCHW", "W2C"):
+            # alternative-layout levels are the resample/attention-free
+            # outermost one only
             assert self.down == 1 and self.up == 1 and not self.attn
         if self.down > 1:
             h = RingConv(
@@ -95,6 +101,7 @@ class UNetBlock(nn.Module):
                 dropout=self.dropout,
                 ring=self.ring,
                 data_format=self.data_format,
+                align_in=self.align_in,
                 dtype=self.dtype,
                 name=f"res{i}",
             )(h, temb, deterministic=deterministic)
@@ -108,9 +115,17 @@ class UNetBlock(nn.Module):
             )(h)
         if self.up > 1:
             h = upsample2x(h, ring=self.ring)
-            h = RingConv(
-                self.out_channels, ring=self.ring, dtype=self.dtype, name="up_conv"
-            )(h)
+            if self.w2c_up:
+                h = w2c.merge_width_pairs(h)
+                h = RingConv(
+                    self.out_channels, ring=self.ring, data_format="W2C",
+                    align_in="aligned", dtype=self.dtype, name="up_conv",
+                )(h)  # -> merged, offset alignment
+            else:
+                h = RingConv(
+                    self.out_channels, ring=self.ring, dtype=self.dtype,
+                    name="up_conv",
+                )(h)
         return h
 
 
@@ -142,6 +157,11 @@ class EfficientUNet(nn.Module):
     # assignment already handles level 1 there), despite winning in a
     # standalone A/B — kept as an experiment knob, default off.
     channels_major_l1: bool = False
+    # run the outermost level width-pair-merged: (B, 64, W/2, 128) tensors,
+    # 3x2 block-kernel ring convs (ops/w2c.py). Exact math, 1.33x level-1
+    # conv FLOPs, but full 128-lane MXU outputs instead of 64 — the level-1
+    # convs were the round-1 bottleneck (44% of step time at ~30% MFU).
+    width_merge_l1: bool = False
 
     def coords_channels(self) -> int:
         if self.coords_encoding == "spherical_harmonics":
@@ -214,24 +234,36 @@ class EfficientUNet(nn.Module):
         Block = (
             nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         )
-        if self.channels_major_l1 and not self.ring:
+        if (self.channels_major_l1 or self.width_merge_l1) and not self.ring:
             raise ValueError(
-                "channels_major_l1 requires ring convolutions (the NCHW fast "
-                "path only implements the ring 3x3 / 1x1 cases)"
+                "channels_major_l1 / width_merge_l1 require ring convolutions "
+                "(the alternative-layout paths only implement the ring "
+                "3x3 / 1x1 cases)"
             )
-        l1_df = "NCHW" if self.channels_major_l1 else "NHWC"
+        if self.channels_major_l1 and self.width_merge_l1:
+            raise ValueError(
+                "channels_major_l1 and width_merge_l1 are mutually exclusive"
+            )
+        l1_df = "NCHW" if self.channels_major_l1 else (
+            "W2C" if self.width_merge_l1 else "NHWC"
+        )
         if self.channels_major_l1:
             h = jnp.transpose(h, (0, 3, 1, 2))  # level 1 runs channels-major
+        elif self.width_merge_l1:
+            h = w2c.merge_width_pairs(h)  # aligned; in_conv flips to offset
         h = RingConv(
-            C[0], ring=self.ring, data_format=l1_df, dtype=self.dtype,
-            name="in_conv",
+            C[0], ring=self.ring, data_format=l1_df, align_in="aligned",
+            dtype=self.dtype, name="in_conv",
         )(h)
         h1 = Block(C[1], N[0], data_format=l1_df, name="d_block1", **cfg)(
             h, temb, deterministic
         )
-        h1_mid = (
-            jnp.transpose(h1, (0, 2, 3, 1)) if self.channels_major_l1 else h1
-        )
+        if self.channels_major_l1:
+            h1_mid = jnp.transpose(h1, (0, 2, 3, 1))
+        elif self.width_merge_l1:
+            h1_mid = w2c.unmerge_width_pairs(h1, "offset")
+        else:
+            h1_mid = h1
         h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1_mid, temb, deterministic)
         h3 = Block(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb, deterministic)
         h4 = Block(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb, deterministic)
@@ -239,11 +271,13 @@ class EfficientUNet(nn.Module):
         h = Block(C[2], N[2], up=2, name="u_block3", **cfg)(
             jnp.concatenate([h, h3], axis=-1), temb, deterministic
         )
-        h = Block(C[1], N[1], up=2, name="u_block2", **cfg)(
+        h = Block(C[1], N[1], up=2, w2c_up=self.width_merge_l1, name="u_block2", **cfg)(
             jnp.concatenate([h, h2], axis=-1), temb, deterministic
         )
         if self.channels_major_l1:
             h = jnp.concatenate([jnp.transpose(h, (0, 3, 1, 2)), h1], axis=1)
+        elif self.width_merge_l1:
+            h = w2c.phase_concat(h, h1)  # both offset-aligned
         else:
             h = jnp.concatenate([h, h1], axis=-1)
         h = Block(C[0], N[0], data_format=l1_df, name="u_block1", **cfg)(
@@ -252,8 +286,10 @@ class EfficientUNet(nn.Module):
         out_ch = self.in_channels if self.out_channels is None else self.out_channels
         h = RingConv(
             out_ch, ring=self.ring, zero_init=True, data_format=l1_df,
-            dtype=self.dtype, name="out_conv",
+            align_in="offset", dtype=self.dtype, name="out_conv",
         )(h)
         if self.channels_major_l1:
             h = jnp.transpose(h, (0, 2, 3, 1))
+        elif self.width_merge_l1:
+            h = w2c.unmerge_width_pairs(h, "aligned")
         return h.astype(jnp.float32)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import w2c
 from ..ops.pad import ring_pad
 
 Dtype = Any
@@ -114,6 +115,94 @@ class _RingConv3x3(nn.Module):
         return y
 
 
+class _RingConvW2C(nn.Module):
+    """3x3 ring conv on a width-pair-merged tensor (ops/w2c.py): a 3x2 conv
+    with the block-expanded kernel, full 128-lane outputs for the 64-channel
+    level. Params stay in the ORIGINAL (3, 3, C, F) HWIO shape (weight-tree
+    compatible with the NHWC path and torch import).
+
+    ``align_in`` names the input phase alignment: "aligned" pads left and
+    produces "offset" output; "offset" pads right and produces "aligned"
+    (see ops/w2c.py docstring). The ring wrap is one boundary-column
+    correction added via the same zero-pad trick as _RingConv3x3.
+    """
+
+    features: int  # ORIGINAL output channels; merged output is 2x
+    align_in: str = "offset"
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.align_in in ("aligned", "offset"), self.align_in
+        C_in = x.shape[-1] // 2
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        kernel = self.param("kernel", kernel_init, (3, 3, C_in, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        km = w2c.expand_kernel_3x3(kernel)  # (3, 2, 2C, 2F)
+        dn = ("NHWC", "HWIO", "NHWC")
+        Wm = x.shape[2]
+        if self.align_in == "aligned":
+            pad_w = (1, 0)
+            # output col 0 misses input col W'-1 through tap 0
+            col, ktap = x[:, :, -1:, :], km[:, 0:1]
+            corr_pad = ((0, 0), (0, 0), (0, Wm - 1), (0, 0))
+        else:
+            pad_w = (0, 1)
+            # output col W'-1 misses input col 0 through tap 1
+            col, ktap = x[:, :, 0:1, :], km[:, 1:2]
+            corr_pad = ((0, 0), (0, 0), (Wm - 1, 0), (0, 0))
+        y = jax.lax.conv_general_dilated(
+            x, km, (1, 1), ((1, 1), pad_w), dimension_numbers=dn
+        )
+        corr = jax.lax.conv_general_dilated(
+            col, ktap, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn
+        )
+        y = y + jnp.pad(corr, corr_pad)
+        if bias is not None:
+            y = y + jnp.tile(bias.astype(y.dtype), 2)
+        return y
+
+
+class _Conv1x1W2C(nn.Module):
+    """1x1 conv on a merged tensor: block-diagonal (alignment-preserving).
+    Params stay in the original (1, 1, C, F) HWIO shape."""
+
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C_in = x.shape[-1] // 2
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        kernel = self.param("kernel", kernel_init, (1, 1, C_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, w2c.expand_kernel_1x1(kernel), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + jnp.tile(bias.astype(y.dtype), 2)
+        return y
+
+
 class _Conv1x1NCHW(nn.Module):
     """1x1 conv in channels-major layout; params stored HWIO like nn.Conv."""
 
@@ -158,10 +247,32 @@ class RingConv(nn.Module):
     use_bias: bool = True
     zero_init: bool = False
     data_format: str = "NHWC"
+    align_in: str = "offset"  # W2C only: input phase alignment
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.data_format == "W2C":
+            # width-pair-merged level (ops/w2c.py); ring is implied
+            assert self.ring, "W2C implements ring convolutions only"
+            if tuple(self.kernel_size) == (3, 3):
+                assert self.stride == 1 and self.padding == 1
+                return _RingConvW2C(
+                    features=self.features,
+                    align_in=self.align_in,
+                    use_bias=self.use_bias,
+                    zero_init=self.zero_init,
+                    dtype=self.dtype,
+                    name="conv",
+                )(x)
+            assert tuple(self.kernel_size) == (1, 1) and self.padding == 0
+            return _Conv1x1W2C(
+                features=self.features,
+                use_bias=self.use_bias,
+                zero_init=self.zero_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if (
             self.ring
             and tuple(self.kernel_size) == (3, 3)
@@ -205,7 +316,11 @@ class RingConv(nn.Module):
 
 
 def group_norm_coeffs(
-    x: jnp.ndarray, num_groups: int, eps: float, data_format: str = "NHWC"
+    x: jnp.ndarray,
+    num_groups: int,
+    eps: float,
+    data_format: str = "NHWC",
+    phases: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(batch, channel) fp32 (a, b) such that GN(x) == x * a + b.
 
@@ -215,24 +330,31 @@ def group_norm_coeffs(
     |mean|/std up to ~1e3 — comfortably true for this network's normalized
     activations ([-1,1] diffusion inputs; every block re-normalizes). Do not
     reuse for data with a large common offset.
+
+    ``phases`` > 1: the channel axis is a phase-blocked width-pair merge
+    (ops/w2c.py) — each group's statistics pool its channels across ALL
+    phase blocks, reproducing the unmerged GroupNorm exactly.
     """
-    if data_format == "NHWC":
+    if data_format in ("NHWC", "W2C"):
         B, H, W, C = x.shape
         spatial_axes = (1, 2)
     else:  # NCHW (channels-major levels)
         B, C, H, W = x.shape
         spatial_axes = (2, 3)
+        assert phases == 1
     G = num_groups
+    P = phases
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=spatial_axes)  # (B, C) fp32
     s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
-    cnt = H * W * (C // G)
-    g1 = s1.reshape(B, G, C // G).sum(-1, keepdims=True) / cnt  # group mean
-    g2 = s2.reshape(B, G, C // G).sum(-1, keepdims=True) / cnt
+    cnt = H * W * (C // G)  # elements per group (merged W is W/P, C is P*C0)
+    g1 = s1.reshape(B, P, G, -1).sum((1, 3)) / cnt  # (B, G) group mean
+    g2 = s2.reshape(B, P, G, -1).sum((1, 3)) / cnt
     var = jnp.maximum(g2 - jnp.square(g1), 0.0)
-    inv = jax.lax.rsqrt(var + eps)  # (B, G, 1)
-    a = jnp.broadcast_to(inv, (B, G, C // G)).reshape(B, C)
-    b = jnp.broadcast_to(-g1 * inv, (B, G, C // G)).reshape(B, C)
+    inv = jax.lax.rsqrt(var + eps)  # (B, G)
+    shape = (B, P, G, C // (P * G))
+    a = jnp.broadcast_to(inv[:, None, :, None], shape).reshape(B, C)
+    b = jnp.broadcast_to((-g1 * inv)[:, None, :, None], shape).reshape(B, C)
     return a, b
 
 
@@ -270,22 +392,31 @@ USE_PALLAS_GN = False
 
 
 def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
-    """GroupNorm + optional SiLU, via the Pallas kernel when enabled."""
+    """GroupNorm + optional SiLU, via the Pallas kernel when enabled.
+
+    data_format "W2C": channels-last width-pair-merged layout — statistics
+    pool each group across the two phase blocks (ops/w2c.py); ``gain`` /
+    ``shift`` are given per ORIGINAL channel and tiled over phases.
+    """
     from ..ops import pallas_gn
 
     if data_format == "NHWC" and USE_PALLAS_GN and pallas_gn.supported(x):
         return pallas_gn.fused_group_norm_silu(
             x, gain, shift, num_groups, eps, apply_silu=silu
         )
+    phases = 2 if data_format == "W2C" else 1
     # XLA path: fold normalization + (possibly per-batch) affine into one FMA
-    a, b = group_norm_coeffs(x, num_groups, eps, data_format)
+    a, b = group_norm_coeffs(x, num_groups, eps, data_format, phases=phases)
     g = gain.astype(jnp.float32)
     s = shift.astype(jnp.float32)
     if g.ndim == 1:
         g, s = g[None], s[None]
+    if phases > 1:
+        g = jnp.tile(g, (1, phases))
+        s = jnp.tile(s, (1, phases))
     a = a * g
     b = b * g + s
-    if data_format == "NHWC":
+    if data_format in ("NHWC", "W2C"):
         a, b = a[:, None, None, :], b[:, None, None, :]
     else:
         a, b = a[:, :, None, None], b[:, :, None, None]
@@ -307,7 +438,12 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[-1] if self.data_format == "NHWC" else x.shape[1]
+        if self.data_format == "W2C":
+            C = x.shape[-1] // 2  # params per ORIGINAL channel
+        elif self.data_format == "NHWC":
+            C = x.shape[-1]
+        else:
+            C = x.shape[1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         return _gn_act(
@@ -331,7 +467,12 @@ class AdaGN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[-1] if self.data_format == "NHWC" else x.shape[1]
+        if self.data_format == "W2C":
+            C = x.shape[-1] // 2  # proj predicts per ORIGINAL channel
+        elif self.data_format == "NHWC":
+            C = x.shape[-1]
+        else:
+            C = x.shape[1]
         ss = nn.Dense(2 * C, dtype=self.dtype, name="proj")(nn.silu(emb))
         scale, shift = jnp.split(ss, 2, axis=-1)  # (B, C) each
         # GN(x)*(1+scale) + shift folded into one x*a + b pass (+ optional
@@ -421,6 +562,7 @@ class ResidualBlock(nn.Module):
     dropout: float = 0.0
     ring: bool = True
     data_format: str = "NHWC"
+    align_in: str = "offset"  # W2C only; output alignment == align_in (2 convs)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -431,14 +573,19 @@ class ResidualBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         df = self.data_format
-        in_channels = x.shape[-1] if df == "NHWC" else x.shape[1]
+        if df == "W2C":
+            in_channels = x.shape[-1] // 2
+            align_mid = "aligned" if self.align_in == "offset" else "offset"
+        else:
+            in_channels = x.shape[-1] if df == "NHWC" else x.shape[1]
+            align_mid = self.align_in
         h = GroupNorm(
             self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
             name="norm1",
         )(x)
         h = RingConv(
             self.out_channels, ring=self.ring, data_format=df,
-            dtype=self.dtype, name="conv1",
+            align_in=self.align_in, dtype=self.dtype, name="conv1",
         )(h)
         if emb is not None:
             h = AdaGN(
@@ -457,6 +604,7 @@ class ResidualBlock(nn.Module):
             ring=self.ring,
             zero_init=True,
             data_format=df,
+            align_in=align_mid,
             dtype=self.dtype,
             name="conv2",
         )(h)

@@ -56,6 +56,7 @@ def main(args):
         seeds=list(range(args.seed, args.seed + args.batch_size)),
         return_all=args.video,
         data_format="NHWC",
+        progress=True,  # per-step feedback (reference tqdm UX)
     )
     xs = jnp.clip(xs, -1, 1)
     lidar_utils.data_format = "NHWC"

@@ -83,9 +83,11 @@ def model_coords(cfg: config_lib.Config) -> np.ndarray:
     if cfg.data.projection.startswith("spherical"):
         return get_hdl64e_linear_ray_angles(*resolution)
     if cfg.data.projection.startswith("unfolding"):
+        angles_dir = os.environ.get("R2DM_ANGLES_DIR") or os.path.join(
+            os.path.dirname(__file__), "data", "angles"
+        )
         path = os.path.join(
-            os.path.dirname(__file__), "data", "angles",
-            f"{cfg.data.dataset}_unfolding_angles.npz",
+            angles_dir, f"{cfg.data.dataset}_unfolding_angles.npz"
         )
         if not os.path.exists(path):
             raise FileNotFoundError(
@@ -175,10 +177,28 @@ class DDPM:
         return_all: bool = False,
         data_format: str = "NCHW",
         mesh=None,
+        progress: bool = False,
+        progress_chunk: int = 32,
     ) -> jnp.ndarray:
         """Generate scans; with ``mesh`` the batch is sharded over the mesh's
         'data' axis — XLA partitions the whole sampling scan across chips
-        (the serving-side counterpart of the trainer's data parallelism)."""
+        (the serving-side counterpart of the trainer's data parallelism).
+
+        ``progress=True`` (continuous-time, not ``return_all``): the chain
+        runs as ``progress_chunk``-step compiled segments with a host-side
+        progress line between chunks — the reference's per-step tqdm UX
+        (continuous_time.py:251-252) at ~1/chunk of the dispatch overhead.
+        Samples are bit-identical to the single-scan path (same key splits).
+        """
+        if (
+            progress
+            and not return_all
+            and isinstance(self.diffusion, ContinuousTimeGaussianDiffusion)
+        ):
+            return self._sample_progress(
+                batch_size, num_steps, self._key(key, seeds), mode, ddim_eta,
+                data_format, mesh, progress_chunk,
+            )
         # Mesh is hashable with content equality — equal meshes share the
         # compiled sampler
         sig = ("sample", batch_size, num_steps, mode, float(ddim_eta), return_all,
@@ -218,6 +238,60 @@ class DDPM:
         if data_format == "NCHW":
             perm = (0, 3, 1, 2) if not return_all else (0, 1, 4, 2, 3)
             x = jnp.transpose(x, perm)
+        return x
+
+    def _sample_progress(
+        self, batch_size, num_steps, key, mode, ddim_eta, data_format, mesh,
+        chunk,
+    ) -> jnp.ndarray:
+        """Chunked-scan sampling with a host progress line (see sample())."""
+        import sys
+        import time
+
+        from .diffusion.base import as_typed_key, normal, split_key
+
+        diff = self.diffusion
+        sig = ("segment", batch_size, mode, float(ddim_eta), mesh)
+        if sig not in self._jit_cache:
+            fn = partial(diff.sample_segment, mode=mode, ddim_eta=ddim_eta)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                sharded = NamedSharding(mesh, P("data", None, None, None))
+                fn = jax.jit(
+                    fn,
+                    in_shardings=(rep, sharded, rep, rep),
+                    out_shardings=(sharded, rep),
+                )
+            else:
+                fn = jax.jit(fn)
+            self._jit_cache[sig] = fn
+        seg_fn = self._jit_cache[sig]
+
+        # identical key math to ContinuousTimeGaussianDiffusion.sample
+        key = as_typed_key(key)
+        key, sub = split_key(key)
+        x = normal(sub, (batch_size, *diff.sampling_shape))
+        ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+        t0 = time.time()
+        done = 0
+        while done < num_steps:
+            n = min(chunk, num_steps - done)
+            x, key = seg_fn(self.variables, x, key, ts[done : done + n + 1])
+            jax.block_until_ready(x)
+            done += n
+            rate = done / max(time.time() - t0, 1e-9)
+            eta = (num_steps - done) / max(rate, 1e-9)
+            print(
+                f"\rsampling {done}/{num_steps} steps "
+                f"({rate:.1f} step/s, eta {eta:.0f}s)",
+                end="" if done < num_steps else "\n",
+                file=sys.stderr,
+                flush=True,
+            )
+        if data_format == "NCHW":
+            x = jnp.transpose(x, (0, 3, 1, 2))
         return x
 
     def repaint(

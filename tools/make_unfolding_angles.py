@@ -67,7 +67,7 @@ def main(args):
     empty = count[..., 0] == 0
     mean[empty] = fallback[empty]
 
-    out_dir = os.path.join(
+    out_dir = args.out_dir or os.path.join(
         os.path.dirname(__file__), "..", "r2dm_tpu", "data", "angles"
     )
     os.makedirs(out_dir, exist_ok=True)
@@ -82,4 +82,9 @@ if __name__ == "__main__":
     parser.add_argument("--data_root", type=str, required=True)
     parser.add_argument("--width", type=int, default=2048)
     parser.add_argument("--num_scans", type=int, default=500)
+    parser.add_argument(
+        "--out_dir", default=None,
+        help="output dir (default r2dm_tpu/data/angles; consumers honor "
+        "$R2DM_ANGLES_DIR)",
+    )
     main(parser.parse_args())

@@ -19,6 +19,12 @@ import jax  # noqa: E402
 # the 8-device host CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of small nets; caching them makes re-runs (the developer inner
+# loop) several times faster. /tmp so no artifacts land in the repo.
+jax.config.update("jax_compilation_cache_dir", "/tmp/r2dm_tpu_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -48,7 +48,7 @@ class _RingConv3x3(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, prologue=None) -> jnp.ndarray:
         nhwc = self.data_format == "NHWC"
         C_in = x.shape[-1] if nhwc else x.shape[1]
         kernel_init = (
@@ -61,6 +61,24 @@ class _RingConv3x3(nn.Module):
             if self.use_bias
             else None
         )
+        if prologue is not None:
+            # fused "silu(x*a + b) -> ring conv": Pallas kernel when the
+            # shape qualifies, mathematically-identical XLA path otherwise
+            assert nhwc, "prologue fusion is NHWC-only"
+            from ..ops import pallas_resconv
+
+            a, b = prologue
+            if USE_PALLAS_RESCONV and pallas_resconv.supported(x, self.features):
+                xc = x.astype(self.dtype) if self.dtype is not None else x
+                return pallas_resconv.fused_act_ringconv(
+                    xc, a, b, kernel,
+                    bias if bias is not None else jnp.zeros((self.features,)),
+                    apply_act=True,
+                    interpret=PALLAS_RESCONV_INTERPRET,
+                ).astype(xc.dtype)
+            y = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+            y = y * jax.nn.sigmoid(y)
+            x = y.astype(x.dtype if self.dtype is None else self.dtype)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
@@ -251,7 +269,15 @@ class RingConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, prologue=None) -> jnp.ndarray:
+        if prologue is not None:
+            assert (
+                self.data_format == "NHWC"
+                and self.ring
+                and tuple(self.kernel_size) == (3, 3)
+                and self.stride == 1
+                and self.padding == 1
+            ), "prologue fusion only on the 3x3 ring NHWC path"
         if self.data_format == "W2C":
             # width-pair-merged level (ops/w2c.py); ring is implied
             assert self.ring, "W2C implements ring convolutions only"
@@ -286,7 +312,7 @@ class RingConv(nn.Module):
                 data_format=self.data_format,
                 dtype=self.dtype,
                 name="conv",
-            )(x)
+            )(x, prologue=prologue)
         if self.data_format == "NCHW":
             # channels-major levels only need 3x3 (above) and 1x1 convs
             assert tuple(self.kernel_size) == (1, 1) and self.padding == 0
@@ -390,6 +416,27 @@ def group_norm(
 # bench/sampling paths enable it explicitly.
 USE_PALLAS_GN = False
 
+# Use the fused (GN/AdaGN+SiLU)+ring-conv Pallas kernel
+# (ops/pallas_resconv.py) inside ResidualBlock where supported (level-1
+# 64-channel shapes). Inference-gated: no VJP yet; the training path keeps
+# the XLA lowering. PALLAS_RESCONV_INTERPRET is a test hook (CPU interpret).
+USE_PALLAS_RESCONV = False
+PALLAS_RESCONV_INTERPRET = False
+
+
+def _folded_gn_coeffs(x, num_groups, eps, gain, shift, data_format, phases=1):
+    """fp32 (a, b) per (batch, channel) with the affine folded in, such that
+    GN_affine(x) == x * a + b (see group_norm_coeffs)."""
+    a, b = group_norm_coeffs(x, num_groups, eps, data_format, phases=phases)
+    g = gain.astype(jnp.float32)
+    s = shift.astype(jnp.float32)
+    if g.ndim == 1:
+        g, s = g[None], s[None]
+    if phases > 1:
+        g = jnp.tile(g, (1, phases))
+        s = jnp.tile(s, (1, phases))
+    return a * g, b * g + s
+
 
 def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
     """GroupNorm + optional SiLU, via the Pallas kernel when enabled.
@@ -406,16 +453,7 @@ def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
         )
     phases = 2 if data_format == "W2C" else 1
     # XLA path: fold normalization + (possibly per-batch) affine into one FMA
-    a, b = group_norm_coeffs(x, num_groups, eps, data_format, phases=phases)
-    g = gain.astype(jnp.float32)
-    s = shift.astype(jnp.float32)
-    if g.ndim == 1:
-        g, s = g[None], s[None]
-    if phases > 1:
-        g = jnp.tile(g, (1, phases))
-        s = jnp.tile(s, (1, phases))
-    a = a * g
-    b = b * g + s
+    a, b = _folded_gn_coeffs(x, num_groups, eps, gain, shift, data_format, phases)
     if data_format in ("NHWC", "W2C"):
         a, b = a[:, None, None, :], b[:, None, None, :]
     else:
@@ -437,7 +475,7 @@ class GroupNorm(nn.Module):
     data_format: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_coeffs: bool = False):
         if self.data_format == "W2C":
             C = x.shape[-1] // 2  # params per ORIGINAL channel
         elif self.data_format == "NHWC":
@@ -446,6 +484,12 @@ class GroupNorm(nn.Module):
             C = x.shape[1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        if return_coeffs:
+            # folded fp32 (a, b): GN_affine(x) == x*a + b — consumed by the
+            # fused Pallas conv prologue (ops/pallas_resconv.py)
+            return _folded_gn_coeffs(
+                x, self.num_groups, self.eps, scale, bias, self.data_format
+            )
         return _gn_act(
             x, self.num_groups, self.eps, scale, bias, self.silu,
             self.data_format,
@@ -466,7 +510,7 @@ class AdaGN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, return_coeffs: bool = False):
         if self.data_format == "W2C":
             C = x.shape[-1] // 2  # proj predicts per ORIGINAL channel
         elif self.data_format == "NHWC":
@@ -478,6 +522,11 @@ class AdaGN(nn.Module):
         # GN(x)*(1+scale) + shift folded into one x*a + b pass (+ optional
         # fused SiLU via the Pallas kernel)
         gain = 1.0 + scale.astype(jnp.float32)
+        if return_coeffs:
+            return _folded_gn_coeffs(
+                x, self.num_groups, self.eps, gain,
+                shift.astype(jnp.float32), self.data_format,
+            )
         return _gn_act(
             x, self.num_groups, self.eps, gain, shift.astype(jnp.float32),
             self.silu, self.data_format,
@@ -579,35 +628,70 @@ class ResidualBlock(nn.Module):
         else:
             in_channels = x.shape[-1] if df == "NHWC" else x.shape[1]
             align_mid = self.align_in
-        h = GroupNorm(
-            self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
-            name="norm1",
-        )(x)
-        h = RingConv(
-            self.out_channels, ring=self.ring, data_format=df,
-            align_in=self.align_in, dtype=self.dtype, name="conv1",
-        )(h)
-        if emb is not None:
-            h = AdaGN(
+        # Fused path (inference): fold each GN/AdaGN+SiLU into its conv's
+        # prologue — the Pallas kernel runs them in one VMEM residency with
+        # lane-packed matmuls (ops/pallas_resconv.py); unsupported shapes
+        # fall back to the identical-math XLA lowering inside RingConv.
+        fused = (
+            USE_PALLAS_RESCONV
+            and df == "NHWC"
+            and self.ring
+            and (self.dropout == 0.0 or deterministic)
+        )
+        if fused:
+            coeffs1 = GroupNorm(
                 self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
-                dtype=self.dtype, name="norm2",
-            )(h, emb)
+                name="norm1",
+            )(x, return_coeffs=True)
+            h = RingConv(
+                self.out_channels, ring=self.ring, data_format=df,
+                align_in=self.align_in, dtype=self.dtype, name="conv1",
+            )(x, prologue=coeffs1)
+            if emb is not None:
+                coeffs2 = AdaGN(
+                    self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+                    dtype=self.dtype, name="norm2",
+                )(h, emb, return_coeffs=True)
+            else:
+                coeffs2 = GroupNorm(
+                    self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+                    name="norm2",
+                )(h, return_coeffs=True)
+            h = RingConv(
+                self.out_channels, ring=self.ring, zero_init=True,
+                data_format=df, align_in=align_mid, dtype=self.dtype,
+                name="conv2",
+            )(h, prologue=coeffs2)
         else:
             h = GroupNorm(
                 self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
-                name="norm2",
+                name="norm1",
+            )(x)
+            h = RingConv(
+                self.out_channels, ring=self.ring, data_format=df,
+                align_in=self.align_in, dtype=self.dtype, name="conv1",
             )(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = RingConv(
-            self.out_channels,
-            ring=self.ring,
-            zero_init=True,
-            data_format=df,
-            align_in=align_mid,
-            dtype=self.dtype,
-            name="conv2",
-        )(h)
+            if emb is not None:
+                h = AdaGN(
+                    self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+                    dtype=self.dtype, name="norm2",
+                )(h, emb)
+            else:
+                h = GroupNorm(
+                    self.gn_num_groups, self.gn_eps, silu=True, data_format=df,
+                    name="norm2",
+                )(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = RingConv(
+                self.out_channels,
+                ring=self.ring,
+                zero_init=True,
+                data_format=df,
+                align_in=align_mid,
+                dtype=self.dtype,
+                name="conv2",
+            )(h)
         if in_channels != self.out_channels:
             skip = RingConv(
                 self.out_channels,

@@ -43,13 +43,17 @@ def test_fused_act_ringconv_parity(apply_act, cin):
 
 
 def test_supported_gate():
-    x = jnp.zeros((2, 64, 1024, 64), jnp.bfloat16)
-    assert pallas_resconv.supported(x, 64)
-    assert not pallas_resconv.supported(jnp.zeros((2, 64, 1023, 64)), 64)  # odd W
-    assert not pallas_resconv.supported(jnp.zeros((2, 64, 1024, 34)), 64)  # lanes
-    assert not pallas_resconv.supported(jnp.zeros((2, 64, 1024, 64)), 34)
+    # ShapeDtypeStructs: supported() reads shape/dtype only (and big zeros
+    # allocations would dominate the test's runtime)
+    def spec(shape, dtype=jnp.bfloat16):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    assert pallas_resconv.supported(spec((2, 64, 1024, 64)), 64)
+    assert not pallas_resconv.supported(spec((2, 64, 1023, 64)), 64)  # odd W
+    assert not pallas_resconv.supported(spec((2, 64, 1024, 34)), 64)  # lanes
+    assert not pallas_resconv.supported(spec((2, 64, 1024, 64)), 34)
     # a merged image too large for VMEM residency must be rejected
-    assert not pallas_resconv.supported(jnp.zeros((1, 512, 4096, 64), jnp.float32), 64)
+    assert not pallas_resconv.supported(spec((1, 512, 4096, 64), jnp.float32), 64)
 
 
 def test_residual_block_fused_path_matches_xla(monkeypatch):

@@ -80,10 +80,14 @@ def main(args):
     if args.video:
         try:
             import imageio
-        except ImportError:
-            print("imageio unavailable; skipping samples.mp4")
+
+            writer = imageio.get_writer("samples.mp4", mode="I", fps=60)
+        except Exception as e:  # noqa: BLE001 — imageio missing OR no ffmpeg backend
+            print(
+                f"video backend unavailable ({type(e).__name__}); "
+                "skipping samples.mp4 (pip install imageio imageio-ffmpeg)"
+            )
             return
-        writer = imageio.get_writer("samples.mp4", mode="I", fps=60)
         for x in np.asarray(xs):
             img, bev = render_panels(to_unit(jnp.asarray(x)), lidar_utils)
             frame_top = np.concatenate(list(img), axis=1)

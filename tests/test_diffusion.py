@@ -199,7 +199,7 @@ def test_repaint_preserves_known_region(tiny_net_and_vars):
         known,
         mask,
         jax.random.key(3),
-        num_steps=4,
+        num_steps=3,
         num_resample_steps=2,
         jump_length=2,
     )

@@ -1,0 +1,76 @@
+"""generate.py end-to-end smoke: previews + the --video path (which must
+degrade gracefully when imageio is absent — VERDICT r1 item 8)."""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    from r2dm_tpu.checkpoint import save_checkpoint
+    from r2dm_tpu.config import Config, DataConfig, ModelConfig, asdict
+    from r2dm_tpu.inference import build_model, model_coords
+
+    cfg = Config(
+        data=DataConfig(resolution=(16, 64)),
+        model=ModelConfig(
+            base_channels=8,
+            channel_multiplier=(1, 2, 2, 2),
+            num_residual_blocks=(1, 1, 1, 1),
+            gn_num_groups=4,
+            attn_num_heads=2,
+        ),
+    )
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 64, 2)), jnp.zeros((1,))
+    )
+    variables = {
+        **variables,
+        "buffers": {"coords": jnp.asarray(model_coords(cfg))},
+    }
+    path = tmp_path_factory.mktemp("ckpt") / "tiny.msgpack"
+    save_checkpoint(str(path), asdict(cfg), variables, ema_weights=variables, step=1)
+    return str(path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("video", [False, True])
+def test_generate_cli(tiny_ckpt, tmp_path, monkeypatch, video):
+    monkeypatch.chdir(tmp_path)
+    from generate import main
+
+    main(
+        argparse.Namespace(
+            ckpt=tiny_ckpt,
+            mode="ddpm",
+            batch_size=2,
+            sampling_steps=3,
+            seed=0,
+            video=video,
+        )
+    )
+    assert Path("samples_img.png").exists()
+    assert Path("samples_bev.png").exists()
+    try:
+        import imageio
+
+        imageio.get_writer(str(tmp_path / "probe.mp4"), mode="I", fps=60).close()
+        have_video_backend = True
+    except Exception:  # noqa: BLE001 — imageio missing or no ffmpeg plugin
+        have_video_backend = False
+    if video and have_video_backend:
+        assert Path("samples.mp4").exists()
+    # without a video backend the --video path must complete without raising
+    img = np.asarray(__import__("matplotlib.image", fromlist=["imread"]).imread(
+        "samples_img.png"
+    ))
+    assert img.size > 0

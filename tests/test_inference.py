@@ -110,6 +110,7 @@ def test_default_rng_stream_advances(tiny_setup):
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
 
 
+@pytest.mark.slow  # separate full-net compile for the alt architecture
 def test_refinenet_checkpoint_routing():
     """setup_model must use the RefineNet converter for refinenet configs."""
     g = np.load(GOLDEN / "tiny_refinenet.npz")

@@ -115,6 +115,7 @@ def test_rangenet_preprocess_parity():
     np.testing.assert_allclose(np.asarray(out), nhwc(g["pre_out"]), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # full darknet53 graph compile
 def test_rangenet_full_structure():
     """Full darknet53/21 graphs build and produce the right shapes; the
     lidargen feature path returns 4096 dims at fixed indices."""

@@ -50,6 +50,7 @@ def test_unet_forward_parity(cenc):
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # compile-heavy (grad of full remat net, 1-CPU box)
 def test_remat_preserves_outputs_and_grads():
     """remat=True must be numerically identical (it only changes backward
     memory scheduling) and differentiable."""
@@ -89,6 +90,7 @@ def test_channels_major_l1_parity():
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow  # compile-heavy (two remat traces)
 def test_remat_composes_with_dropout():
     """remat + dropout>0 must not trace the deterministic flag
     (static_argnums) in either train or eval mode."""

@@ -38,13 +38,22 @@ def count_parameters(variables) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
 
 
-def build_model(cfg: config_lib.Config, dtype: Any = None):
+def build_model(
+    cfg: config_lib.Config, dtype: Any = None, width_merge_l1: bool = False
+):
     """Construct the denoiser network from a Config (reference
-    utils/inference.py:38-58, train.py:76-89)."""
+    utils/inference.py:38-58, train.py:76-89).
+
+    ``width_merge_l1``: run the outermost U-Net level width-pair-merged
+    (ops/w2c.py) — exact math, same parameter tree, ~10% faster sampling at
+    SMALL batches (<=64; latency-sensitive serving). At batch >=128 the
+    default NHWC layout is faster — leave this off for throughput work.
+    """
     resolution = tuple(cfg.data.resolution)
     in_channels = int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
     if cfg.model.architecture == "efficient_unet":
         return EfficientUNet(
+            width_merge_l1=width_merge_l1,
             in_channels=in_channels,
             resolution=resolution,
             base_channels=cfg.model.base_channels,
@@ -60,6 +69,8 @@ def build_model(cfg: config_lib.Config, dtype: Any = None):
             dtype=dtype,
         )
     if cfg.model.architecture == "refinenet":
+        if width_merge_l1:
+            raise ValueError("width_merge_l1 is an EfficientUNet-only layout")
         from .models.refinenet import LiDARGenRefineNet
 
         return LiDARGenRefineNet(
@@ -332,7 +343,7 @@ class DDPM:
 
 
 def setup_model(
-    ckpt, ema: bool = True, dtype: Any = None
+    ckpt, ema: bool = True, dtype: Any = None, width_merge_l1: bool = False
 ) -> tuple[DDPM, LiDARUtility, config_lib.Config]:
     """Rebuild (ddpm, lidar_utils, cfg) from a checkpoint.
 
@@ -340,6 +351,7 @@ def setup_model(
     utils/torch_import.py), a path to one of our native checkpoints
     (checkpoint.py), or an already-loaded dict in the reference layout
     {cfg, weights, ema_weights, ...} (reference utils/inference.py:16-114).
+    ``width_merge_l1``: small-batch latency layout, see build_model.
     """
     if isinstance(ckpt, (str, os.PathLike)):
         path = str(ckpt)
@@ -350,10 +362,13 @@ def setup_model(
         else:
             from .checkpoint import load_checkpoint
 
-            return setup_model(load_checkpoint(path), ema=ema, dtype=dtype)
+            return setup_model(
+                load_checkpoint(path), ema=ema, dtype=dtype,
+                width_merge_l1=width_merge_l1,
+            )
 
     cfg = config_lib.from_dict(ckpt["cfg"]) if isinstance(ckpt.get("cfg"), dict) else ckpt["cfg"]
-    model = build_model(cfg, dtype=dtype)
+    model = build_model(cfg, dtype=dtype, width_merge_l1=width_merge_l1)
 
     weights = ckpt.get("ema_weights" if ema else "weights") or ckpt.get("weights")
     if isinstance(weights, dict) and any(
@@ -412,12 +427,15 @@ def pretrained_r2dm(
     ckpt_path: Optional[str] = None,
     ema: bool = True,
     dtype: Any = None,
+    width_merge_l1: bool = False,
 ) -> tuple[DDPM, LiDARUtility, config_lib.Config]:
     """The hub entry point (reference hubconf.py:21-37).
 
     This environment has no network egress, so the released ``.pth`` must be
     available locally: pass ``ckpt_path`` or set ``$R2DM_CKPT_DIR`` holding
-    ``<config>.pth`` files.
+    ``<config>.pth`` files. ``width_merge_l1`` enables the small-batch
+    latency layout (see build_model); ``dtype=jnp.bfloat16`` the TPU compute
+    policy.
     """
     if ckpt_path is None:
         ckpt_dir = os.environ.get("R2DM_CKPT_DIR", "")
@@ -430,4 +448,6 @@ def pretrained_r2dm(
                 f"https://github.com/kazuto1011/r2dm/releases (weights_{config.replace('-', '_')}.pth) "
                 "and pass ckpt_path= or set $R2DM_CKPT_DIR"
             )
-    return setup_model(ckpt_path, ema=ema, dtype=dtype)
+    return setup_model(
+        ckpt_path, ema=ema, dtype=dtype, width_merge_l1=width_merge_l1
+    )

@@ -130,6 +130,43 @@ def test_phase_concat_matches_channel_concat():
     )
 
 
+def test_setup_model_width_merge_knob():
+    """The inference surface exposes the latency layout; outputs must match
+    the default layout on the same checkpoint, and refinenet must reject."""
+    from pathlib import Path
+
+    from r2dm_tpu.config import Config, DataConfig, ModelConfig, asdict
+    from r2dm_tpu.inference import setup_model
+
+    g = np.load(Path(__file__).parent / "golden" / "tiny_unet_fourier_features.npz")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    cfg = Config(
+        data=DataConfig(resolution=(16, 64)),
+        model=ModelConfig(
+            base_channels=16, gn_num_groups=4, attn_num_heads=4,
+            num_residual_blocks=(1, 1, 1, 1),
+        ),
+    )
+    ckpt = {"cfg": asdict(cfg), "weights": sd, "global_step": 1}
+    ddpm_a, _, _ = setup_model(ckpt, ema=False)
+    ddpm_b, _, _ = setup_model(ckpt, ema=False, width_merge_l1=True)
+    x = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1)))
+    t = jnp.asarray(g["t"])
+    ya = ddpm_a.diffusion.apply_fn(ddpm_a.variables, x, t)
+    yb = ddpm_b.diffusion.apply_fn(ddpm_b.variables, x, t)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=2e-5)
+
+    cfg_rn = Config(
+        data=DataConfig(resolution=(16, 64)),
+        model=ModelConfig(architecture="refinenet", base_channels=8,
+                          channel_multiplier=(1, 2, 2, 2)),
+    )
+    with pytest.raises(ValueError, match="EfficientUNet-only"):
+        from r2dm_tpu.inference import build_model
+
+        build_model(cfg_rn, width_merge_l1=True)
+
+
 @pytest.mark.parametrize("coords", [None, "fourier_features"])
 def test_unet_width_merge_parity(coords):
     """Full-net: width_merge_l1=True equals the NHWC net on shared params."""

@@ -73,3 +73,15 @@ def test_mesh_parallel_sampling():
     np.testing.assert_allclose(
         np.asarray(x_sharded), np.asarray(x_single), atol=1e-5
     )
+    # the chunked progress path must compose with mesh sharding and stay
+    # bit-identical to the single-scan sampler
+    x_prog = ddpm.sample(
+        batch_size=8, num_steps=4, seeds=list(range(8)), mesh=mesh,
+        data_format="NHWC", progress=True, progress_chunk=2,
+    )
+    x_plain = ddpm.sample(
+        batch_size=8, num_steps=4, seeds=list(range(8)), data_format="NHWC"
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_prog), np.asarray(x_plain), atol=1e-5
+    )

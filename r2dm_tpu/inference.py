@@ -200,15 +200,24 @@ class DDPM:
         progress line between chunks — the reference's per-step tqdm UX
         (continuous_time.py:251-252) at ~1/chunk of the dispatch overhead.
         Samples are bit-identical to the single-scan path (same key splits).
+
+        Very large chains (batch_size * num_steps >= ``AUTO_CHUNK_WORK``)
+        are chunked automatically even without ``progress``: a single
+        multi-minute device dispatch can trip execution watchdogs (observed
+        on tunneled TPU runtimes: a ~137 s dispatch kills the worker while
+        ~17 s segments are stable), and chunking costs nothing — segment
+        dispatches queue asynchronously and the math is bit-identical.
         """
+        work = batch_size * num_steps * int(np.prod(self.sampling_shape[:-1]))
+        auto_chunk = work >= self.AUTO_CHUNK_WORK
         if (
-            progress
+            (progress or auto_chunk)
             and not return_all
             and isinstance(self.diffusion, ContinuousTimeGaussianDiffusion)
         ):
             return self._sample_progress(
                 batch_size, num_steps, self._key(key, seeds), mode, ddim_eta,
-                data_format, mesh, progress_chunk,
+                data_format, mesh, progress_chunk, show=progress,
             )
         # Mesh is hashable with content equality — equal meshes share the
         # compiled sampler
@@ -251,9 +260,15 @@ class DDPM:
             x = jnp.transpose(x, perm)
         return x
 
+    # pixel-steps (batch * steps * H * W) above which sample() auto-chunks:
+    # 64 images x 256 steps at 64x1024 is a ~35 s dispatch at measured v5e
+    # speed — comfortably under observed tunnel watchdogs while amortizing
+    # dispatch overhead
+    AUTO_CHUNK_WORK = 64 * 256 * 64 * 1024
+
     def _sample_progress(
         self, batch_size, num_steps, key, mode, ddim_eta, data_format, mesh,
-        chunk,
+        chunk, show: bool = True,
     ) -> jnp.ndarray:
         """Chunked-scan sampling with a host progress line (see sample())."""
         import sys
@@ -290,17 +305,18 @@ class DDPM:
         while done < num_steps:
             n = min(chunk, num_steps - done)
             x, key = seg_fn(self.variables, x, key, ts[done : done + n + 1])
-            jax.block_until_ready(x)
             done += n
-            rate = done / max(time.time() - t0, 1e-9)
-            eta = (num_steps - done) / max(rate, 1e-9)
-            print(
-                f"\rsampling {done}/{num_steps} steps "
-                f"({rate:.1f} step/s, eta {eta:.0f}s)",
-                end="" if done < num_steps else "\n",
-                file=sys.stderr,
-                flush=True,
-            )
+            if show:
+                jax.block_until_ready(x)
+                rate = done / max(time.time() - t0, 1e-9)
+                eta = (num_steps - done) / max(rate, 1e-9)
+                print(
+                    f"\rsampling {done}/{num_steps} steps "
+                    f"({rate:.1f} step/s, eta {eta:.0f}s)",
+                    end="" if done < num_steps else "\n",
+                    file=sys.stderr,
+                    flush=True,
+                )
         if data_format == "NCHW":
             x = jnp.transpose(x, (0, 3, 1, 2))
         return x

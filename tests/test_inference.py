@@ -82,6 +82,21 @@ def test_progress_sampling_bit_identical(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_auto_chunking_kicks_in_for_large_chains(tiny_setup):
+    """Above AUTO_CHUNK_WORK pixel-steps, sample() must silently run the
+    (bit-identical) segment path — long single dispatches can trip device
+    watchdogs (see DDPM.sample docstring)."""
+    cfg, model, variables = tiny_setup
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    a = ddpm.sample(batch_size=2, num_steps=6, seeds=[1, 2])
+    ddpm2 = DDPM(build_diffusion(cfg, model), variables, cfg)
+    ddpm2.AUTO_CHUNK_WORK = 1  # force the auto-chunk route
+    b = ddpm2.sample(batch_size=2, num_steps=6, seeds=[1, 2])
+    assert any(sig[0] == "segment" for sig in ddpm2._jit_cache)
+    assert not any(sig[0] == "segment" for sig in ddpm._jit_cache)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_native_checkpoint_roundtrip(tmp_path, tiny_setup):
     cfg, model, variables = tiny_setup
     path = str(tmp_path / "ckpt.msgpack")

@@ -78,7 +78,14 @@ def train(cfg: config_lib.Config) -> None:
 
     # ---------------------------------------------------------------- model
     channels = int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
-    model = build_model(cfg, dtype=jnp.bfloat16 if tcfg.mixed_precision == "bf16" else None)
+    model = build_model(
+        cfg,
+        dtype=jnp.bfloat16 if tcfg.mixed_precision == "bf16" else None,
+        # exact layout transform, +36% train throughput (config.py note)
+        width_merge_l1=(
+            tcfg.width_merge_l1 and cfg.model.architecture == "efficient_unet"
+        ),
+    )
     coords = model_coords(cfg)
     init_vars = jax.jit(model.init)(
         jax.random.key(tcfg.seed),

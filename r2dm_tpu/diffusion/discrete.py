@@ -195,3 +195,34 @@ class DiscreteTimeGaussianDiffusion(GaussianDiffusion):
         if return_all:
             return jnp.concatenate([x[None], xs], axis=0)
         return x_final
+
+    def sample_segment(
+        self,
+        variables,
+        x: jnp.ndarray,
+        key: jnp.ndarray,
+        timesteps_seg: jnp.ndarray,
+        mode: str = "ddpm",
+        eta: float = 0.0,
+        model_kwargs: Optional[dict] = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Scan ``p_step`` over a slice of the descending timestep index
+        array; returns the advanced ``(x, key)`` carry. Chaining segments
+        over ``arange(T-1, -1, -1)`` reproduces :meth:`sample` EXACTLY
+        (identical key-split sequence) — used for chunked/progress sampling
+        (see ContinuousTimeGaussianDiffusion.sample_segment)."""
+        batch_size = x.shape[0]
+
+        def body(carry, timestep):
+            x, key = carry
+            key, sub = split_key(key)
+            noise = normal(sub, x.shape)
+            steps = jnp.full((batch_size,), timestep, jnp.int32)
+            x = self.p_step(
+                variables, x, steps, noise=noise, mode=mode, eta=eta,
+                model_kwargs=model_kwargs,
+            )
+            return (x, key), None
+
+        (x, key), _ = jax.lax.scan(body, (x, key), timesteps_seg)
+        return x, key

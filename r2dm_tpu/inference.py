@@ -210,11 +210,7 @@ class DDPM:
         """
         work = batch_size * num_steps * int(np.prod(self.sampling_shape[:-1]))
         auto_chunk = work >= self.AUTO_CHUNK_WORK
-        if (
-            (progress or auto_chunk)
-            and not return_all
-            and isinstance(self.diffusion, ContinuousTimeGaussianDiffusion)
-        ):
+        if (progress or auto_chunk) and not return_all:
             return self._sample_progress(
                 batch_size, num_steps, self._key(key, seeds), mode, ddim_eta,
                 data_format, mesh, progress_chunk, show=progress,
@@ -277,9 +273,13 @@ class DDPM:
         from .diffusion.base import as_typed_key, normal, split_key
 
         diff = self.diffusion
+        discrete = isinstance(diff, DiscreteTimeGaussianDiffusion)
         sig = ("segment", batch_size, mode, float(ddim_eta), mesh)
         if sig not in self._jit_cache:
-            fn = partial(diff.sample_segment, mode=mode, ddim_eta=ddim_eta)
+            if discrete:
+                fn = partial(diff.sample_segment, mode=mode, eta=ddim_eta)
+            else:
+                fn = partial(diff.sample_segment, mode=mode, ddim_eta=ddim_eta)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -295,16 +295,21 @@ class DDPM:
             self._jit_cache[sig] = fn
         seg_fn = self._jit_cache[sig]
 
-        # identical key math to ContinuousTimeGaussianDiffusion.sample
+        # identical key math to the corresponding .sample implementation
         key = as_typed_key(key)
         key, sub = split_key(key)
         x = normal(sub, (batch_size, *diff.sampling_shape))
-        ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+        if discrete:
+            # descending timestep indices (discrete.py sample)
+            ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+        else:
+            ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
         t0 = time.time()
         done = 0
         while done < num_steps:
             n = min(chunk, num_steps - done)
-            x, key = seg_fn(self.variables, x, key, ts[done : done + n + 1])
+            seg = ts[done : done + n] if discrete else ts[done : done + n + 1]
+            x, key = seg_fn(self.variables, x, key, seg)
             done += n
             if show:
                 jax.block_until_ready(x)

@@ -82,6 +82,24 @@ def test_progress_sampling_bit_identical(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_progress_sampling_bit_identical_discrete(tiny_setup):
+    """Same chunked-vs-single equality for the discrete-time process."""
+    import dataclasses
+
+    cfg, model, variables = tiny_setup
+    dcfg = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(
+            cfg.diffusion, timestep_type="discrete", num_training_steps=16
+        )
+    )
+    ddpm = DDPM(build_diffusion(dcfg, model), variables, dcfg)
+    a = ddpm.sample(batch_size=2, num_steps=7, seeds=[3, 4])
+    b = ddpm.sample(
+        batch_size=2, num_steps=7, seeds=[3, 4], progress=True, progress_chunk=3
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_auto_chunking_kicks_in_for_large_chains(tiny_setup):
     """Above AUTO_CHUNK_WORK pixel-steps, sample() must silently run the
     (bit-identical) segment path — long single dispatches can trip device

@@ -88,11 +88,22 @@ class UNetBlock(nn.Module):
             # alternative-layout levels are the resample/attention-free
             # outermost one only
             assert self.down == 1 and self.up == 1 and not self.attn
+        from .layers import FUSED_RESAMPLE
+
         if self.down > 1:
-            h = RingConv(
-                self.out_channels, ring=self.ring, dtype=self.dtype, name="down_conv"
-            )(h)
-            h = downsample2x(h, ring=self.ring)
+            if FUSED_RESAMPLE and self.ring:
+                # conv + FIR downsample composed into one stride-2 conv
+                # (exact; ops/fused_resample.py)
+                h = RingConv(
+                    self.out_channels, ring=self.ring, dtype=self.dtype,
+                    name="down_conv",
+                )(h, fused_resample="down")
+            else:
+                h = RingConv(
+                    self.out_channels, ring=self.ring, dtype=self.dtype,
+                    name="down_conv",
+                )(h)
+                h = downsample2x(h, ring=self.ring)
         for i in range(self.num_residual_blocks):
             h = ResidualBlock(
                 out_channels=self.out_channels,
@@ -114,14 +125,21 @@ class UNetBlock(nn.Module):
                 name="attn",
             )(h)
         if self.up > 1:
-            h = upsample2x(h, ring=self.ring)
             if self.w2c_up:
+                h = upsample2x(h, ring=self.ring)
                 h = w2c.merge_width_pairs(h)
                 h = RingConv(
                     self.out_channels, ring=self.ring, data_format="W2C",
                     align_in="aligned", dtype=self.dtype, name="up_conv",
                 )(h)  # -> merged, offset alignment
+            elif FUSED_RESAMPLE and self.ring:
+                # FIR upsample + conv composed into one dilated conv
+                h = RingConv(
+                    self.out_channels, ring=self.ring, dtype=self.dtype,
+                    name="up_conv",
+                )(h, fused_resample="up")
             else:
+                h = upsample2x(h, ring=self.ring)
                 h = RingConv(
                     self.out_channels, ring=self.ring, dtype=self.dtype,
                     name="up_conv",

@@ -48,7 +48,9 @@ class _RingConv3x3(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, prologue=None) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, prologue=None, fused_resample=None
+    ) -> jnp.ndarray:
         nhwc = self.data_format == "NHWC"
         C_in = x.shape[-1] if nhwc else x.shape[1]
         kernel_init = (
@@ -61,6 +63,18 @@ class _RingConv3x3(nn.Module):
             if self.use_bias
             else None
         )
+        if fused_resample is not None:
+            # conv composed with its adjacent FIR resample into ONE conv
+            # (ops/fused_resample.py); exact — same params, same math
+            assert nhwc and prologue is None
+            from ..ops import fused_resample as fr
+
+            xc = x.astype(self.dtype) if self.dtype is not None else x
+            k = kernel.astype(xc.dtype)
+            if fused_resample == "down":
+                return fr.conv_then_downsample(xc, k, bias)
+            assert fused_resample == "up", fused_resample
+            return fr.upsample_then_conv(xc, k, bias)
         if prologue is not None:
             # fused "silu(x*a + b) -> ring conv": Pallas kernel when the
             # shape qualifies, mathematically-identical XLA path otherwise
@@ -269,15 +283,17 @@ class RingConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, prologue=None) -> jnp.ndarray:
-        if prologue is not None:
+    def __call__(
+        self, x: jnp.ndarray, prologue=None, fused_resample=None
+    ) -> jnp.ndarray:
+        if prologue is not None or fused_resample is not None:
             assert (
                 self.data_format == "NHWC"
                 and self.ring
                 and tuple(self.kernel_size) == (3, 3)
                 and self.stride == 1
                 and self.padding == 1
-            ), "prologue fusion only on the 3x3 ring NHWC path"
+            ), "prologue/resample fusion only on the 3x3 ring NHWC path"
         if self.data_format == "W2C":
             # width-pair-merged level (ops/w2c.py); ring is implied
             assert self.ring, "W2C implements ring convolutions only"
@@ -312,7 +328,7 @@ class RingConv(nn.Module):
                 data_format=self.data_format,
                 dtype=self.dtype,
                 name="conv",
-            )(x, prologue=prologue)
+            )(x, prologue=prologue, fused_resample=fused_resample)
         if self.data_format == "NCHW":
             # channels-major levels only need 3x3 (above) and 1x1 convs
             assert tuple(self.kernel_size) == (1, 1) and self.padding == 0
@@ -422,6 +438,12 @@ USE_PALLAS_GN = False
 # the XLA lowering. PALLAS_RESCONV_INTERPRET is a test hook (CPU interpret).
 USE_PALLAS_RESCONV = False
 PALLAS_RESCONV_INTERPRET = False
+
+# Fuse level-boundary convs with their FIR resamples into single convs
+# (ops/fused_resample.py): exact linear composition — the separate depthwise
+# FIR passes were 7.7% of the b256 U-Net forward. Differentiable (pure lax),
+# used by training and sampling alike.
+FUSED_RESAMPLE = True
 
 
 def _folded_gn_coeffs(x, num_groups, eps, gain, shift, data_format, phases=1):

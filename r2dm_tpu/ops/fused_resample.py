@@ -1,0 +1,140 @@
+"""Exact fusion of level-boundary convs with their FIR resamples.
+
+The U-Net's down path runs ``downsample2x(ring_conv3x3(x))`` and the up path
+``ring_conv3x3(upsample2x(h))`` (reference Block, models/efficient_unet.py:
+113-185 with ops.Resample, models/ops.py:52-146). Both pairs are LINEAR with
+no nonlinearity between, so they compose into ONE convolution:
+
+  down:  y = FIR2x2_down(K * x)  ==  (F (x) F * K) * x  at stride 2
+         — a 6x6 kernel, same FLOPs as the 3x3 at full resolution, but the
+         separate depthwise FIR passes and the full-resolution intermediate
+         tensor disappear (measured: the FIR passes are 7.7% of the b256
+         U-Net forward on the v5e).
+  up:    y = K * FIR2x2_up(h)   ==  (K (x) F') *_lhs-dilated h
+
+Boundary semantics compose exactly too, with two 1-row corrections per op:
+the W axis is circular (wrap-pad), and on the H axis the pipeline's
+explicit zero margins differ from naive composition only where the inner
+tensor's zero-pad rows overlap the outer kernel's support — row 0 and the
+last row, each fixable by subtracting a small single-row convolution
+(derivations in the function docstrings; parity vs the two-op pipeline is
+asserted to fp32 exactness in tests/test_fused_resample.py).
+
+Used by UNetBlock via RingConv(..., fused_resample="down"|"up") when
+models.layers.FUSED_RESAMPLE is on (default). Pure jnp/lax — differentiable,
+so the training path uses it too.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _fir_window(dtype) -> jnp.ndarray:
+    return jnp.asarray(np.array([1.0, 3.0, 3.0, 1.0]) / 8.0, dtype)
+
+
+def _composed_kernel(kernel: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (6, 6, Ci, Co): full 2-D convolution of the conv
+    kernel with the separable FIR window (one ``scale``d pass per axis)."""
+    f = _fir_window(kernel.dtype) * scale
+    out = jnp.zeros((6, 6) + kernel.shape[2:], kernel.dtype)
+    for jh in range(4):
+        for jw in range(4):
+            out = out.at[jh : jh + 3, jw : jw + 3].add(f[jh] * f[jw] * kernel)
+    return out
+
+
+def _row_composed_kernel(k_row: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """(3, Ci, Co) W-kernel -> (1, 6, Ci, Co) FIR-composed W kernel."""
+    f = _fir_window(k_row.dtype) * scale
+    out = jnp.zeros((6,) + k_row.shape[1:], k_row.dtype)
+    for jw in range(4):
+        out = out.at[jw : jw + 3].add(f[jw] * k_row)
+    return out[None]
+
+
+def conv_then_downsample(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias
+) -> jnp.ndarray:
+    """== downsample2x(ring_conv3x3(x, kernel) + bias), in one conv.
+
+    Composition: y[o] = sum_j f[j] z[2o+j-1] with z = K*x (+bias) gives a
+    6-tap kernel C = f (*) K per axis, taps x[2o-2 .. 2o+3] -> wrap pad
+    (2, 3) on W, zero pad (2, 3) on H, stride 2. H corrections: the FIR's
+    margin zeroes z[-1]/z[H]; the composed conv instead derives them from
+    x[0]/x[H-1] (+bias) through K's own zero H padding — subtract
+    f[0]/f[3] times those single-row contributions, FIR-downsampled on W.
+    """
+    B, H, W, Ci = x.shape
+    C2 = _composed_kernel(kernel, 1.0)
+    f = _fir_window(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 3), (0, 0)), mode="wrap")
+    xp = jnp.pad(xp, ((0, 0), (2, 3), (0, 0), (0, 0)))
+    y = lax.conv_general_dilated(xp, C2, (2, 2), ((0, 0), (0, 0)), dimension_numbers=_DN)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+
+    def z_row(row, k_row):  # 1-row ring-W conv with the (3, Ci, Co) W kernel
+        rp = jnp.pad(row, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+        out = lax.conv_general_dilated(
+            rp, k_row[None], (1, 1), ((0, 0), (0, 0)), dimension_numbers=_DN
+        )
+        return out + bias.astype(out.dtype) if bias is not None else out
+
+    def fir_w_down(row):  # (B, 1, W, Co) -> (B, 1, W/2, Co), ring
+        C = row.shape[-1]
+        rp = jnp.pad(row, ((0, 0), (0, 0), (1, 2), (0, 0)), mode="wrap")
+        k = jnp.tile(_fir_window(row.dtype).reshape(1, 4, 1, 1), (1, 1, 1, C))
+        return lax.conv_general_dilated(
+            rp, k, (1, 2), ((0, 0), (0, 0)), dimension_numbers=_DN,
+            feature_group_count=C,
+        )
+
+    y = y.at[:, 0:1].add(-f[0] * fir_w_down(z_row(x[:, 0:1], kernel[2])))
+    y = y.at[:, -1:].add(-f[3] * fir_w_down(z_row(x[:, H - 1 : H], kernel[0])))
+    return y
+
+
+def upsample_then_conv(
+    h: jnp.ndarray, kernel: jnp.ndarray, bias
+) -> jnp.ndarray:
+    """== ring_conv3x3(upsample2x(h), kernel) + bias, in one dilated conv.
+
+    Composition: Cu = K (*) F' per axis (F' = FIR x2 per-axis scale 2),
+    applied with lhs_dilation 2 over h wrap-padded (2, 2) on W and
+    zero-padded (2, 2) on H, conv padding (-1, -1). H corrections: the
+    outer conv zero-pads u = upsample2x(h) at rows -1 and 2H, while the
+    composed op computes their real values u[-1] = 2 f[3] Wup(h[0]) and
+    u[2H] = 2 f[0] Wup(h[H-1]) — subtract those single-row contributions
+    through K's edge rows.
+    """
+    B, H, W, Ci = h.shape
+    Cu = _composed_kernel(kernel, 2.0)
+    f = _fir_window(jnp.float32)
+    hp = jnp.pad(h, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
+    hp = jnp.pad(hp, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    y = lax.conv_general_dilated(
+        hp, Cu, (1, 1), ((-1, -1), (-1, -1)), lhs_dilation=(2, 2),
+        dimension_numbers=_DN,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+
+    def w_comp_row(row, k_row):  # (B, 1, W, Ci) -> (B, 1, 2W, Co), ring
+        Cw = _row_composed_kernel(k_row, 2.0)
+        rp = jnp.pad(row, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
+        return lax.conv_general_dilated(
+            rp, Cw, (1, 1), ((0, 0), (-1, -1)), lhs_dilation=(1, 2),
+            dimension_numbers=_DN,
+        )
+
+    corr_top = w_comp_row(h[:, 0:1], kernel[0]) * (2.0 * f[3])
+    corr_bot = w_comp_row(h[:, H - 1 : H], kernel[2]) * (2.0 * f[0])
+    y = y.at[:, 0:1].add(-corr_top)
+    y = y.at[:, -1:].add(-corr_bot)
+    return y

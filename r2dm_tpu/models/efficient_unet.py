@@ -91,7 +91,7 @@ class UNetBlock(nn.Module):
         from .layers import FUSED_RESAMPLE
 
         if self.down > 1:
-            if FUSED_RESAMPLE and self.ring:
+            if FUSED_RESAMPLE in (True, "both", "down") and self.ring:
                 # conv + FIR downsample composed into one stride-2 conv
                 # (exact; ops/fused_resample.py)
                 h = RingConv(
@@ -132,7 +132,7 @@ class UNetBlock(nn.Module):
                     self.out_channels, ring=self.ring, data_format="W2C",
                     align_in="aligned", dtype=self.dtype, name="up_conv",
                 )(h)  # -> merged, offset alignment
-            elif FUSED_RESAMPLE and self.ring:
+            elif FUSED_RESAMPLE in (True, "both", "up") and self.ring:
                 # FIR upsample + conv composed into one dilated conv
                 h = RingConv(
                     self.out_channels, ring=self.ring, dtype=self.dtype,

@@ -440,10 +440,12 @@ USE_PALLAS_RESCONV = False
 PALLAS_RESCONV_INTERPRET = False
 
 # Fuse level-boundary convs with their FIR resamples into single convs
-# (ops/fused_resample.py): exact linear composition — the separate depthwise
-# FIR passes were 7.7% of the b256 U-Net forward. Differentiable (pure lax),
-# used by training and sampling alike.
-FUSED_RESAMPLE = True
+# (ops/fused_resample.py): exact linear composition, differentiable.
+# Granular: True/"both", "down", "up", or False. Measured on the v5e (b256
+# fwd, per-image): off 2.102 ms, down-only 2.085 (+0.8%), up-only 2.230
+# (-6%: XLA does not exploit the dilation zeros of the composed lhs-dilated
+# conv), both 2.218. Default = "down" by measurement; "up" kept as a knob.
+FUSED_RESAMPLE = "down"
 
 
 def _folded_gn_coeffs(x, num_groups, eps, gain, shift, data_format, phases=1):

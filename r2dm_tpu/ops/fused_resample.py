@@ -118,10 +118,13 @@ def upsample_then_conv(
     f = _fir_window(jnp.float32)
     hp = jnp.pad(h, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
     hp = jnp.pad(hp, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    # VALID conv + slice instead of padding (-1, -1): identical values, but
+    # negative padding on a dilated conv SIGABRTs XLA:CPU in the gradient
+    # under GSPMD sharding (observed on the 8-device test mesh)
     y = lax.conv_general_dilated(
-        hp, Cu, (1, 1), ((-1, -1), (-1, -1)), lhs_dilation=(2, 2),
+        hp, Cu, (1, 1), ((0, 0), (0, 0)), lhs_dilation=(2, 2),
         dimension_numbers=_DN,
-    )
+    )[:, 1:-1, 1:-1]
     if bias is not None:
         y = y + bias.astype(y.dtype)
 
@@ -129,9 +132,9 @@ def upsample_then_conv(
         Cw = _row_composed_kernel(k_row, 2.0)
         rp = jnp.pad(row, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
         return lax.conv_general_dilated(
-            rp, Cw, (1, 1), ((0, 0), (-1, -1)), lhs_dilation=(1, 2),
+            rp, Cw, (1, 1), ((0, 0), (0, 0)), lhs_dilation=(1, 2),
             dimension_numbers=_DN,
-        )
+        )[:, :, 1:-1]
 
     corr_top = w_comp_row(h[:, 0:1], kernel[0]) * (2.0 * f[3])
     corr_bot = w_comp_row(h[:, H - 1 : H], kernel[2]) * (2.0 * f[0])

@@ -19,9 +19,12 @@ import jax  # noqa: E402
 # the 8-device host CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
-# compiles of small nets; caching them makes re-runs (the developer inner
-# loop) several times faster. /tmp so no artifacts land in the repo.
+# Persistent compilation cache: the suite is compile-bound on this 1-CPU
+# box (cold ~14 min, warm ~4 min). A SIGABRT scare was investigated and
+# attributed NOT to the cache but to a negative-padding dilated-conv
+# gradient crashing XLA:CPU under GSPMD (fixed in ops/fused_resample.py);
+# the cache ran many green suites before and after. The CPU AOT loader
+# logs machine-feature-mismatch warnings on load — cosmetic on this box.
 jax.config.update("jax_compilation_cache_dir", "/tmp/r2dm_tpu_test_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -101,30 +101,53 @@ def conv_then_downsample(
 
 
 def upsample_then_conv(
-    h: jnp.ndarray, kernel: jnp.ndarray, bias
+    h: jnp.ndarray, kernel: jnp.ndarray, bias, impl: str = "polyphase"
 ) -> jnp.ndarray:
-    """== ring_conv3x3(upsample2x(h), kernel) + bias, in one dilated conv.
+    """== ring_conv3x3(upsample2x(h), kernel) + bias, composed.
 
-    Composition: Cu = K (*) F' per axis (F' = FIR x2 per-axis scale 2),
-    applied with lhs_dilation 2 over h wrap-padded (2, 2) on W and
-    zero-padded (2, 2) on H, conv padding (-1, -1). H corrections: the
-    outer conv zero-pads u = upsample2x(h) at rows -1 and 2H, while the
-    composed op computes their real values u[-1] = 2 f[3] Wup(h[0]) and
-    u[2H] = 2 f[0] Wup(h[H-1]) — subtract those single-row contributions
-    through K's edge rows.
+    Composition: Cu = K (*) F' per axis (F' = FIR x2 per-axis scale 2).
+    Two exact lowerings:
+      - "polyphase" (default): output phase (p, q) is a standard 3x3 ring
+        conv of h with Cu[1-p::2, 1-q::2], interleaved by reshape — same
+        FLOPs as the unfused conv, no dilated-conv zeros for XLA to waste
+        work on.
+      - "dilated": one lhs-dilation-2 conv with the full 6x6 Cu (measured
+        slower on the v5e: XLA does not exploit the dilation zeros).
+    H corrections (both): the outer conv zero-pads u = upsample2x(h) at
+    rows -1 and 2H, while the composition computes their real values
+    u[-1] = 2 f[3] Wup(h[0]) and u[2H] = 2 f[0] Wup(h[H-1]) — subtract
+    those single-row contributions through K's edge rows.
     """
     B, H, W, Ci = h.shape
     Cu = _composed_kernel(kernel, 2.0)
     f = _fir_window(jnp.float32)
-    hp = jnp.pad(h, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
-    hp = jnp.pad(hp, ((0, 0), (2, 2), (0, 0), (0, 0)))
-    # VALID conv + slice instead of padding (-1, -1): identical values, but
-    # negative padding on a dilated conv SIGABRTs XLA:CPU in the gradient
-    # under GSPMD sharding (observed on the 8-device test mesh)
-    y = lax.conv_general_dilated(
-        hp, Cu, (1, 1), ((0, 0), (0, 0)), lhs_dilation=(2, 2),
-        dimension_numbers=_DN,
-    )[:, 1:-1, 1:-1]
+    if impl == "polyphase":
+        Co = Cu.shape[-1]
+        hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+        grid = [
+            [
+                lax.conv_general_dilated(
+                    hp, Cu[1 - p :: 2, 1 - q :: 2], (1, 1), ((1, 1), (0, 0)),
+                    dimension_numbers=_DN,
+                )
+                for q in range(2)
+            ]
+            for p in range(2)
+        ]
+        y = jnp.stack([jnp.stack(r, axis=0) for r in grid], axis=0)
+        # out[2t+p, 2w+q] = grid[p][q][t, w]
+        y = jnp.transpose(y, (2, 3, 0, 4, 1, 5)).reshape(B, 2 * H, 2 * W, Co)
+    else:
+        assert impl == "dilated", impl
+        hp = jnp.pad(h, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
+        hp = jnp.pad(hp, ((0, 0), (2, 2), (0, 0), (0, 0)))
+        # VALID conv + slice instead of padding (-1, -1): identical values,
+        # but negative padding on a dilated conv SIGABRTs XLA:CPU in the
+        # gradient under GSPMD sharding (observed on the 8-device test mesh)
+        y = lax.conv_general_dilated(
+            hp, Cu, (1, 1), ((0, 0), (0, 0)), lhs_dilation=(2, 2),
+            dimension_numbers=_DN,
+        )[:, 1:-1, 1:-1]
     if bias is not None:
         y = y + bias.astype(y.dtype)
 

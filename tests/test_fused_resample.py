@@ -34,8 +34,9 @@ def test_conv_then_downsample_exact(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.parametrize("impl", ["polyphase", "dilated"])
 @pytest.mark.parametrize("shape", [(2, 8, 16, 3), (1, 16, 32, 5)])
-def test_upsample_then_conv_exact(shape):
+def test_upsample_then_conv_exact(shape, impl):
     rng = np.random.default_rng(1)
     B, H, W, Ci = shape
     Co = 6
@@ -43,7 +44,7 @@ def test_upsample_then_conv_exact(shape):
     k = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.3, jnp.float32)
     b = jnp.asarray(rng.standard_normal((Co,)) * 0.5, jnp.float32)
     ref = _ring_conv(upsample2x(h), k, b)
-    got = fr.upsample_then_conv(h, k, b)
+    got = fr.upsample_then_conv(h, k, b, impl=impl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 

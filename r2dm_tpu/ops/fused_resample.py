@@ -71,6 +71,7 @@ def conv_then_downsample(
     f[0]/f[3] times those single-row contributions, FIR-downsampled on W.
     """
     B, H, W, Ci = x.shape
+    assert H % 2 == 0 and W % 2 == 0 and W >= 6, (H, W)
     C2 = _composed_kernel(kernel, 1.0)
     f = _fir_window(jnp.float32)
     xp = jnp.pad(x, ((0, 0), (0, 0), (2, 3), (0, 0)), mode="wrap")

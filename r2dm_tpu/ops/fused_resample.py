@@ -96,8 +96,10 @@ def conv_then_downsample(
             feature_group_count=C,
         )
 
-    y = y.at[:, 0:1].add(-f[0] * fir_w_down(z_row(x[:, 0:1], kernel[2])))
-    y = y.at[:, -1:].add(-f[3] * fir_w_down(z_row(x[:, H - 1 : H], kernel[0])))
+    corr_top = (-f[0] * fir_w_down(z_row(x[:, 0:1], kernel[2]))).astype(y.dtype)
+    corr_bot = (-f[3] * fir_w_down(z_row(x[:, H - 1 : H], kernel[0]))).astype(y.dtype)
+    y = y.at[:, 0:1].add(corr_top)
+    y = y.at[:, -1:].add(corr_bot)
     return y
 
 
@@ -160,8 +162,8 @@ def upsample_then_conv(
             dimension_numbers=_DN,
         )[:, :, 1:-1]
 
-    corr_top = w_comp_row(h[:, 0:1], kernel[0]) * (2.0 * f[3])
-    corr_bot = w_comp_row(h[:, H - 1 : H], kernel[2]) * (2.0 * f[0])
+    corr_top = (w_comp_row(h[:, 0:1], kernel[0]) * (2.0 * f[3])).astype(y.dtype)
+    corr_bot = (w_comp_row(h[:, H - 1 : H], kernel[2]) * (2.0 * f[0])).astype(y.dtype)
     y = y.at[:, 0:1].add(-corr_top)
     y = y.at[:, -1:].add(-corr_bot)
     return y

@@ -213,10 +213,12 @@ class ContinuousTimeGaussianDiffusion(GaussianDiffusion):
         ts_seg: jnp.ndarray,
         mode: str = "ddpm",
         ddim_eta: float = 0.0,
+        return_all: bool = False,
         model_kwargs: Optional[dict] = None,
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> tuple:
         """Scan ``p_step`` over a contiguous slice of boundary times
-        ``ts_seg`` ((K+1,)); returns the advanced ``(x, key)`` carry.
+        ``ts_seg`` ((K+1,)); returns the advanced ``(x, key)`` carry (plus
+        the per-step stack when ``return_all``).
 
         Chaining segments over ``linspace(1, 0, num_steps + 1)`` reproduces
         :meth:`sample` EXACTLY (the per-step key-split sequence is identical)
@@ -231,11 +233,13 @@ class ContinuousTimeGaussianDiffusion(GaussianDiffusion):
                 variables, x, ts_seg[i], ts_seg[i + 1], noise=noise, mode=mode,
                 ddim_eta=ddim_eta, model_kwargs=model_kwargs,
             )
-            return (x, key), None
+            return (x, key), (x if return_all else None)
 
-        (x, key), _ = jax.lax.scan(
+        (x, key), xs = jax.lax.scan(
             body, (x, key), jnp.arange(ts_seg.shape[0] - 1)
         )
+        if return_all:
+            return x, key, xs
         return x, key
 
     def repaint(

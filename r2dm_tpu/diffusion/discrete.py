@@ -204,11 +204,13 @@ class DiscreteTimeGaussianDiffusion(GaussianDiffusion):
         timesteps_seg: jnp.ndarray,
         mode: str = "ddpm",
         eta: float = 0.0,
+        return_all: bool = False,
         model_kwargs: Optional[dict] = None,
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> tuple:
         """Scan ``p_step`` over a slice of the descending timestep index
-        array; returns the advanced ``(x, key)`` carry. Chaining segments
-        over ``arange(T-1, -1, -1)`` reproduces :meth:`sample` EXACTLY
+        array; returns the advanced ``(x, key)`` carry (plus the per-step
+        stack when ``return_all``). Chaining segments over
+        ``arange(T-1, -1, -1)`` reproduces :meth:`sample` EXACTLY
         (identical key-split sequence) — used for chunked/progress sampling
         (see ContinuousTimeGaussianDiffusion.sample_segment)."""
         batch_size = x.shape[0]
@@ -222,7 +224,9 @@ class DiscreteTimeGaussianDiffusion(GaussianDiffusion):
                 variables, x, steps, noise=noise, mode=mode, eta=eta,
                 model_kwargs=model_kwargs,
             )
-            return (x, key), None
+            return (x, key), (x if return_all else None)
 
-        (x, key), _ = jax.lax.scan(body, (x, key), timesteps_seg)
+        (x, key), xs = jax.lax.scan(body, (x, key), timesteps_seg)
+        if return_all:
+            return x, key, xs
         return x, key

@@ -210,10 +210,11 @@ class DDPM:
         """
         work = batch_size * num_steps * int(np.prod(self.sampling_shape[:-1]))
         auto_chunk = work >= self.AUTO_CHUNK_WORK
-        if (progress or auto_chunk) and not return_all:
+        if progress or auto_chunk:
             return self._sample_progress(
                 batch_size, num_steps, self._key(key, seeds), mode, ddim_eta,
                 data_format, mesh, progress_chunk, show=progress,
+                return_all=return_all,
             )
         # Mesh is hashable with content equality — equal meshes share the
         # compiled sampler
@@ -264,7 +265,7 @@ class DDPM:
 
     def _sample_progress(
         self, batch_size, num_steps, key, mode, ddim_eta, data_format, mesh,
-        chunk, show: bool = True,
+        chunk, show: bool = True, return_all: bool = False,
     ) -> jnp.ndarray:
         """Chunked-scan sampling with a host progress line (see sample())."""
         import sys
@@ -272,23 +273,36 @@ class DDPM:
 
         from .diffusion.base import as_typed_key, normal, split_key
 
+        if chunk < 1:
+            raise ValueError(f"progress_chunk must be >= 1, got {chunk}")
         diff = self.diffusion
         discrete = isinstance(diff, DiscreteTimeGaussianDiffusion)
-        sig = ("segment", batch_size, mode, float(ddim_eta), mesh)
+        sig = ("segment", batch_size, mode, float(ddim_eta), mesh, return_all)
         if sig not in self._jit_cache:
             if discrete:
-                fn = partial(diff.sample_segment, mode=mode, eta=ddim_eta)
+                fn = partial(
+                    diff.sample_segment, mode=mode, eta=ddim_eta,
+                    return_all=return_all,
+                )
             else:
-                fn = partial(diff.sample_segment, mode=mode, ddim_eta=ddim_eta)
+                fn = partial(
+                    diff.sample_segment, mode=mode, ddim_eta=ddim_eta,
+                    return_all=return_all,
+                )
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 rep = NamedSharding(mesh, P())
                 sharded = NamedSharding(mesh, P("data", None, None, None))
+                out_sh = (
+                    (sharded, rep, NamedSharding(mesh, P(None, "data")))
+                    if return_all
+                    else (sharded, rep)
+                )
                 fn = jax.jit(
                     fn,
                     in_shardings=(rep, sharded, rep, rep),
-                    out_shardings=(sharded, rep),
+                    out_shardings=out_sh,
                 )
             else:
                 fn = jax.jit(fn)
@@ -304,26 +318,44 @@ class DDPM:
             ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
         else:
             ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+        stacks = [x[None]] if return_all else None
         t0 = time.time()
         done = 0
         while done < num_steps:
             n = min(chunk, num_steps - done)
             seg = ts[done : done + n] if discrete else ts[done : done + n + 1]
-            x, key = seg_fn(self.variables, x, key, seg)
+            out = seg_fn(self.variables, x, key, seg)
+            if return_all:
+                x, key, xs = out
+                stacks.append(xs)
+            else:
+                x, key = out
+            first = done == 0
             done += n
             if show:
                 jax.block_until_ready(x)
-                rate = done / max(time.time() - t0, 1e-9)
-                eta = (num_steps - done) / max(rate, 1e-9)
+                if first:
+                    # restart the clock after the first chunk so the
+                    # rate/eta exclude XLA compile time
+                    t0, timed_from = time.time(), done
+                msg = f"\rsampling {done}/{num_steps} steps"
+                if done > timed_from:
+                    rate = (done - timed_from) / max(time.time() - t0, 1e-9)
+                    eta = (num_steps - done) / max(rate, 1e-9)
+                    msg += f" ({rate:.1f} step/s, eta {eta:.0f}s)"
                 print(
-                    f"\rsampling {done}/{num_steps} steps "
-                    f"({rate:.1f} step/s, eta {eta:.0f}s)",
+                    msg,
                     end="" if done < num_steps else "\n",
                     file=sys.stderr,
                     flush=True,
                 )
+        if return_all:
+            x = jnp.concatenate(stacks, axis=0)
+            perm = (0, 1, 4, 2, 3)
+        else:
+            perm = (0, 3, 1, 2)
         if data_format == "NCHW":
-            x = jnp.transpose(x, (0, 3, 1, 2))
+            x = jnp.transpose(x, perm)
         return x
 
     def repaint(

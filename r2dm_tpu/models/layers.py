@@ -512,7 +512,8 @@ class GroupNorm(nn.Module):
             # folded fp32 (a, b): GN_affine(x) == x*a + b — consumed by the
             # fused Pallas conv prologue (ops/pallas_resconv.py)
             return _folded_gn_coeffs(
-                x, self.num_groups, self.eps, scale, bias, self.data_format
+                x, self.num_groups, self.eps, scale, bias, self.data_format,
+                phases=2 if self.data_format == "W2C" else 1,
             )
         return _gn_act(
             x, self.num_groups, self.eps, scale, bias, self.silu,
@@ -550,6 +551,7 @@ class AdaGN(nn.Module):
             return _folded_gn_coeffs(
                 x, self.num_groups, self.eps, gain,
                 shift.astype(jnp.float32), self.data_format,
+                phases=2 if self.data_format == "W2C" else 1,
             )
         return _gn_act(
             x, self.num_groups, self.eps, gain, shift.astype(jnp.float32),

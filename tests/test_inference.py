@@ -100,6 +100,24 @@ def test_progress_sampling_bit_identical_discrete(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_progress_return_all_bit_identical(tiny_setup):
+    """Chunked return_all must stack exactly like the single scan, and a
+    non-positive chunk must be rejected rather than spinning forever."""
+    cfg, model, variables = tiny_setup
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    a = ddpm.sample(batch_size=2, num_steps=5, seeds=[3, 4], return_all=True)
+    ddpm2 = DDPM(build_diffusion(cfg, model), variables, cfg)
+    ddpm2.AUTO_CHUNK_WORK = 1  # force the chunked route incl. return_all
+    b = ddpm2.sample(
+        batch_size=2, num_steps=5, seeds=[3, 4], return_all=True,
+        progress_chunk=2,
+    )
+    assert b.shape == a.shape == (6, 2, 2, 16, 64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="progress_chunk"):
+        ddpm2.sample(batch_size=1, num_steps=2, progress=True, progress_chunk=0)
+
+
 def test_auto_chunking_kicks_in_for_large_chains(tiny_setup):
     """Above AUTO_CHUNK_WORK pixel-steps, sample() must silently run the
     (bit-identical) segment path — long single dispatches can trip device

@@ -232,7 +232,10 @@ def main(argv=None):
 
     run("import", _import)
     if ddpm is None:
-        print(json.dumps(results) if args.json else "aborted: import failed")
+        if args.json:  # same schema as the success path
+            print(json.dumps({"ok": False, "stages": results}))
+        else:
+            print("aborted: import failed")
         return 1
 
     if args.skip_reference:

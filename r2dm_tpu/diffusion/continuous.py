@@ -242,6 +242,114 @@ class ContinuousTimeGaussianDiffusion(GaussianDiffusion):
             return x, key, xs
         return x, key
 
+    def _repaint_reverse_jumps(
+        self, variables, known, mask, x, step_t, step_s, key,
+        jump_length: int, model_kwargs: Optional[dict],
+    ):
+        """t -> s through jump_length sub-steps, blending known pixels
+        (reference continuous_time.py:283-303). ``known``/``mask`` fp32."""
+        interp = jnp.linspace(0.0, 1.0, jump_length + 1, dtype=jnp.float32)
+        r_steps = step_t + interp * (step_s - step_t)  # (jump_length+1,)
+        for k in range(jump_length):
+            key, k_known, k_p = split_key(key, 3)
+            known_noise = normal(k_known, known.shape)
+            known_s = self.q_step_from_x_0(known, r_steps[k + 1], known_noise)
+            p_noise = normal(k_p, x.shape)
+            unknown_s = self.p_step(
+                variables, x, r_steps[k], r_steps[k + 1], noise=p_noise,
+                model_kwargs=model_kwargs,
+            )
+            x = mask * known_s + (1.0 - mask) * unknown_s
+        return x, key
+
+    def _repaint_forward_jumps(self, x, step_t, step_s, key, jump_length: int):
+        """s -> t re-noising (reference continuous_time.py:309-315)."""
+        interp = jnp.linspace(0.0, 1.0, jump_length + 1, dtype=jnp.float32)
+        r_steps = step_t + interp * (step_s - step_t)
+        for k in range(jump_length, 0, -1):
+            key, sub = split_key(key)
+            noise = normal(sub, x.shape)
+            x = self.q_step(x, r_steps[k - 1], r_steps[k], noise)
+        return x, key
+
+    def repaint_segment(
+        self,
+        variables,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        x_t: jnp.ndarray,
+        key: jnp.ndarray,
+        ts_pairs: jnp.ndarray,
+        num_resample_steps: int = 1,
+        jump_length: int = 1,
+        model_kwargs: Optional[dict] = None,
+    ) -> tuple:
+        """Advance the RePaint outer loop over ``ts_pairs`` ((K, 2) rows of
+        (t, s) boundary times); returns the advanced ``(x_t, key)`` carry.
+
+        Chaining segments over ``stack([ts[:-2], ts[1:-1]], 1)`` followed by
+        one :meth:`_repaint_reverse_jumps` final step reproduces
+        :meth:`repaint` EXACTLY (identical key-split sequence) — the
+        chunked-dispatch counterpart of :meth:`sample_segment`, needed
+        because a T x r x j grid compiles to one multi-minute dispatch at
+        completion-scale batches (reference loop: continuous_time.py:260-317).
+        """
+        known = known.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
+
+        def resample_body(j, carry):
+            x_t, key, step_t, step_s = carry
+            x_s, key = self._repaint_reverse_jumps(
+                variables, known, mask, x_t, step_t, step_s, key,
+                jump_length, model_kwargs,
+            )
+            # re-noise unless this is the final resample of this step
+            is_last_resample = j == num_resample_steps - 1
+
+            def renoise(args):
+                x, key = args
+                return self._repaint_forward_jumps(
+                    x, step_t, step_s, key, jump_length
+                )
+
+            x_t, key = jax.lax.cond(
+                is_last_resample, lambda args: args, renoise, (x_s, key)
+            )
+            return (x_t, key, step_t, step_s)
+
+        def step_body(carry, ts_pair):
+            x_t, key = carry
+            x_t, key, _, _ = jax.lax.fori_loop(
+                0,
+                num_resample_steps,
+                resample_body,
+                (x_t, key, ts_pair[0], ts_pair[1]),
+            )
+            return (x_t, key), None
+
+        (x_t, key), _ = jax.lax.scan(step_body, (x_t, key), ts_pairs)
+        return x_t, key
+
+    def repaint_final(
+        self,
+        variables,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        x_t: jnp.ndarray,
+        key: jnp.ndarray,
+        step_t: jnp.ndarray,
+        step_s: jnp.ndarray,
+        jump_length: int = 1,
+        model_kwargs: Optional[dict] = None,
+    ) -> jnp.ndarray:
+        """The last RePaint step: one reverse pass, no re-noising (the
+        reference's early break, continuous_time.py:305-307)."""
+        x_s, _ = self._repaint_reverse_jumps(
+            variables, known.astype(jnp.float32), mask.astype(jnp.float32),
+            x_t, step_t, step_s, key, jump_length, model_kwargs,
+        )
+        return x_s
+
     def repaint(
         self,
         variables,
@@ -271,62 +379,15 @@ class ContinuousTimeGaussianDiffusion(GaussianDiffusion):
         key, sub = split_key(key)
         x_t = normal(sub, (batch_size, *self.sampling_shape))
         ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
-        interp = jnp.linspace(0.0, 1.0, jump_length + 1, dtype=jnp.float32)
-
-        def reverse_jumps(x, step_t, step_s, key):
-            """t -> s through jump_length sub-steps, blending known pixels."""
-            r_steps = step_t + interp * (step_s - step_t)  # (jump_length+1,)
-            for k in range(jump_length):
-                key, k_known, k_p = split_key(key, 3)
-                known_noise = normal(k_known, known.shape)
-                known_s = self.q_step_from_x_0(known, r_steps[k + 1], known_noise)
-                p_noise = normal(k_p, x.shape)
-                unknown_s = self.p_step(
-                    variables, x, r_steps[k], r_steps[k + 1], noise=p_noise,
-                    model_kwargs=model_kwargs,
-                )
-                x = mask * known_s + (1.0 - mask) * unknown_s
-            return x, key
-
-        def forward_jumps(x, step_t, step_s, key):
-            """s -> t re-noising (reference continuous_time.py:309-315)."""
-            r_steps = step_t + interp * (step_s - step_t)
-            for k in range(jump_length, 0, -1):
-                key, sub = split_key(key)
-                noise = normal(sub, x.shape)
-                x = self.q_step(x, r_steps[k - 1], r_steps[k], noise)
-            return x, key
-
-        def resample_body(j, carry):
-            x_t, key, step_t, step_s, i = carry
-            x_s, key = reverse_jumps(x_t, step_t, step_s, key)
-            # re-noise unless this is the final resample of this step
-            is_last_resample = j == num_resample_steps - 1
-
-            def renoise(args):
-                x, key = args
-                return forward_jumps(x, step_t, step_s, key)
-
-            x_t, key = jax.lax.cond(
-                is_last_resample, lambda args: args, renoise, (x_s, key)
-            )
-            return (x_t, key, step_t, step_s, i)
-
-        def step_body(carry, i):
-            x_t, key = carry
-            x_t, key, _, _, _ = jax.lax.fori_loop(
-                0,
-                num_resample_steps,
-                resample_body,
-                (x_t, key, ts[i], ts[i + 1], i),
-            )
-            return (x_t, key), None
 
         if num_steps > 1:
-            (x_t, key), _ = jax.lax.scan(
-                step_body, (x_t, key), jnp.arange(num_steps - 1)
+            ts_pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
+            x_t, key = self.repaint_segment(
+                variables, known, mask, x_t, key, ts_pairs,
+                num_resample_steps=num_resample_steps,
+                jump_length=jump_length, model_kwargs=model_kwargs,
             )
-        # final step: single resample, no re-noising (reference break at
-        # i == num_steps - 1, continuous_time.py:305-307)
-        x_s, _ = reverse_jumps(x_t, ts[num_steps - 1], ts[num_steps], key)
-        return x_s
+        return self.repaint_final(
+            variables, known, mask, x_t, key, ts[num_steps - 1], ts[num_steps],
+            jump_length=jump_length, model_kwargs=model_kwargs,
+        )

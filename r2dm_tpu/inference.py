@@ -148,6 +148,26 @@ class DDPM:
         self._jit_cache: dict = {}
         self._auto_calls = 0  # advances the default rng stream per call
 
+    # bound on distinct compiled (batch, steps, mode, mesh, ...) signatures
+    # kept alive; a long-lived serving process sweeping shapes would
+    # otherwise grow the cache (and the XLA executables it pins) unboundedly
+    JIT_CACHE_SIZE = 16
+
+    def _cached_jit(self, sig, make):
+        """LRU-bounded memo of jit-wrapped samplers keyed by signature."""
+        cache = self._jit_cache
+        if sig in cache:
+            cache[sig] = cache.pop(sig)  # refresh LRU order
+        else:
+            cache[sig] = make()
+            while len(cache) > self.JIT_CACHE_SIZE:
+                cache.pop(next(iter(cache)))
+        return cache[sig]
+
+    def clear_jit_cache(self) -> None:
+        """Drop all compiled sampler executables (frees device memory)."""
+        self._jit_cache.clear()
+
     # convenience accessors mirroring the reference module attributes
     @property
     def sampling_shape(self):
@@ -195,11 +215,12 @@ class DDPM:
         'data' axis — XLA partitions the whole sampling scan across chips
         (the serving-side counterpart of the trainer's data parallelism).
 
-        ``progress=True`` (continuous-time, not ``return_all``): the chain
-        runs as ``progress_chunk``-step compiled segments with a host-side
-        progress line between chunks — the reference's per-step tqdm UX
-        (continuous_time.py:251-252) at ~1/chunk of the dispatch overhead.
-        Samples are bit-identical to the single-scan path (same key splits).
+        ``progress=True`` (both continuous- and discrete-time, with or
+        without ``return_all``): the chain runs as ``progress_chunk``-step
+        compiled segments with a host-side progress line between chunks —
+        the reference's per-step tqdm UX (continuous_time.py:251-252) at
+        ~1/chunk of the dispatch overhead. Samples are bit-identical to the
+        single-scan path (same key splits).
 
         Very large chains (batch_size * num_steps >= ``AUTO_CHUNK_WORK``)
         are chunked automatically even without ``progress``: a single
@@ -220,7 +241,8 @@ class DDPM:
         # compiled sampler
         sig = ("sample", batch_size, num_steps, mode, float(ddim_eta), return_all,
                mesh)
-        if sig not in self._jit_cache:
+
+        def make():
             if isinstance(self.diffusion, DiscreteTimeGaussianDiffusion):
                 fn = partial(
                     self.diffusion.sample,
@@ -244,14 +266,14 @@ class DDPM:
 
                 batch_axes = (None, "data") if return_all else ("data",)
                 out = NamedSharding(mesh, P(*batch_axes, None, None, None))
-                self._jit_cache[sig] = jax.jit(
+                return jax.jit(
                     fn,
                     in_shardings=(NamedSharding(mesh, P()), None),
                     out_shardings=out,
                 )
-            else:
-                self._jit_cache[sig] = jax.jit(fn)
-        x = self._jit_cache[sig](self.variables, self._key(key, seeds))
+            return jax.jit(fn)
+
+        x = self._cached_jit(sig, make)(self.variables, self._key(key, seeds))
         if data_format == "NCHW":
             perm = (0, 3, 1, 2) if not return_all else (0, 1, 4, 2, 3)
             x = jnp.transpose(x, perm)
@@ -278,7 +300,8 @@ class DDPM:
         diff = self.diffusion
         discrete = isinstance(diff, DiscreteTimeGaussianDiffusion)
         sig = ("segment", batch_size, mode, float(ddim_eta), mesh, return_all)
-        if sig not in self._jit_cache:
+
+        def make():
             if discrete:
                 fn = partial(
                     diff.sample_segment, mode=mode, eta=ddim_eta,
@@ -299,15 +322,14 @@ class DDPM:
                     if return_all
                     else (sharded, rep)
                 )
-                fn = jax.jit(
+                return jax.jit(
                     fn,
                     in_shardings=(rep, sharded, rep, rep),
                     out_shardings=out_sh,
                 )
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[sig] = fn
-        seg_fn = self._jit_cache[sig]
+            return jax.jit(fn)
+
+        seg_fn = self._cached_jit(sig, make)
 
         # identical key math to the corresponding .sample implementation
         key = as_typed_key(key)
@@ -333,7 +355,11 @@ class DDPM:
             first = done == 0
             done += n
             if show:
-                jax.block_until_ready(x)
+                # sync on a transferred SCALAR: block_until_ready can return
+                # early through tunneled runtimes (CLAUDE.md timing rule), so
+                # the step rate/ETA would overstate progress exactly where
+                # this display matters
+                float(jnp.sum(x[0, 0, 0]))
                 if first:
                     # restart the clock after the first chunk so the
                     # rate/eta exclude XLA compile time
@@ -368,25 +394,121 @@ class DDPM:
         key=None,
         seeds=None,
         data_format: str = "NCHW",
+        progress: bool = False,
+        progress_chunk: int = 32,
     ) -> jnp.ndarray:
         """RePaint completion; ``known``/``mask`` in ``data_format`` layout
-        (reference continuous_time.py:260-317, completion_demo.py:92-99)."""
+        (reference continuous_time.py:260-317, completion_demo.py:92-99).
+
+        Like :meth:`sample`, big grids auto-chunk: the T x r x j RePaint
+        grid is num_steps * num_resample_steps * jump_length network calls,
+        and compiling it as ONE dispatch trips multi-minute execution
+        watchdogs at completion-scale batches. Chunks run
+        ``diffusion.repaint_segment`` over contiguous outer-step slices —
+        bit-identical to the monolithic path (same key-split sequence).
+        ``progress=True`` also prints a host-side progress line per chunk.
+        """
         if data_format == "NCHW":
             known = jnp.transpose(known, (0, 2, 3, 1))
             mask = jnp.transpose(mask, (0, 2, 3, 1))
-        sig = ("repaint", known.shape, num_steps, num_resample_steps, jump_length)
-        if sig not in self._jit_cache:
-            self._jit_cache[sig] = jax.jit(
+        # effective work in pixel*net-call units, comparable to sample()'s
+        net_calls = num_steps * num_resample_steps * jump_length
+        work = known.shape[0] * net_calls * int(np.prod(self.sampling_shape[:-1]))
+        chunked = (progress or work >= self.AUTO_CHUNK_WORK) and not isinstance(
+            self.diffusion, DiscreteTimeGaussianDiffusion
+        )
+        if chunked:
+            x = self._repaint_chunked(
+                known, mask, num_steps, num_resample_steps, jump_length,
+                self._key(key, seeds), show=progress, chunk=progress_chunk,
+            )
+        else:
+            sig = ("repaint", known.shape, num_steps, num_resample_steps,
+                   jump_length)
+            fn = self._cached_jit(
+                sig,
+                lambda: jax.jit(
+                    partial(
+                        self.diffusion.repaint,
+                        num_steps=num_steps,
+                        num_resample_steps=num_resample_steps,
+                        jump_length=jump_length,
+                    )
+                ),
+            )
+            x = fn(self.variables, known, mask, self._key(key, seeds))
+        if data_format == "NCHW":
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        return x
+
+    def _repaint_chunked(
+        self, known, mask, num_steps, num_resample_steps, jump_length, key,
+        show: bool, chunk: int,
+    ) -> jnp.ndarray:
+        """Chunked-dispatch RePaint (see repaint()); NHWC in/out."""
+        import sys
+        import time
+
+        from .diffusion.base import as_typed_key, normal, split_key
+
+        diff = self.diffusion
+        # outer steps per dispatch, sized so one dispatch is ~`chunk` net
+        # calls (the same dispatch length sample() uses)
+        per_step = num_resample_steps * jump_length
+        steps_per_chunk = max(1, chunk // per_step)
+
+        key = as_typed_key(key)
+        key, sub = split_key(key)
+        x = normal(sub, (known.shape[0], *diff.sampling_shape))
+        ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+
+        def make_seg():
+            return jax.jit(
                 partial(
-                    self.diffusion.repaint,
-                    num_steps=num_steps,
+                    diff.repaint_segment,
                     num_resample_steps=num_resample_steps,
                     jump_length=jump_length,
                 )
             )
-        x = self._jit_cache[sig](self.variables, known, mask, self._key(key, seeds))
-        if data_format == "NCHW":
-            x = jnp.transpose(x, (0, 3, 1, 2))
+
+        def make_final():
+            return jax.jit(partial(diff.repaint_final, jump_length=jump_length))
+
+        t0 = time.time()
+        done = 0
+        timed_from = 0
+        if num_steps > 1:
+            ts_pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
+            seg_fn = self._cached_jit(
+                ("repaint_seg", known.shape, num_resample_steps, jump_length),
+                make_seg,
+            )
+            while done < num_steps - 1:
+                n = min(steps_per_chunk, num_steps - 1 - done)
+                x, key = seg_fn(
+                    self.variables, known, mask, x, key,
+                    ts_pairs[done : done + n],
+                )
+                first = done == 0
+                done += n
+                if show:
+                    float(jnp.sum(x[0, 0, 0]))  # scalar sync (CLAUDE.md rule)
+                    if first:
+                        t0, timed_from = time.time(), done
+                    msg = f"\rrepaint {done}/{num_steps} steps"
+                    if done > timed_from:
+                        rate = (done - timed_from) / max(time.time() - t0, 1e-9)
+                        eta = (num_steps - done) / max(rate, 1e-9)
+                        msg += f" ({rate:.1f} step/s, eta {eta:.0f}s)"
+                    print(msg, end="", file=sys.stderr, flush=True)
+        final_fn = self._cached_jit(
+            ("repaint_final", known.shape, jump_length), make_final
+        )
+        x = final_fn(
+            self.variables, known, mask, x, key, ts[num_steps - 1], ts[num_steps]
+        )
+        if show:
+            print(f"\rrepaint {num_steps}/{num_steps} steps", file=sys.stderr)
         return x
 
     def loss(self, x_0: jnp.ndarray, key, data_format: str = "NHWC") -> jnp.ndarray:

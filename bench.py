@@ -20,17 +20,32 @@ worker (execution watchdog), while 32-step (~17 s) dispatches are stable;
 segment dispatches queue asynchronously so the chunking adds no measurable
 overhead (chunked == monolithic per-step cost at b128 where both run).
 
-Methodology: 1 warmup chain (compile) + timed trials with fresh keys; value
-= median, spread reported as (min, max, stdev). Trials are synced by
-transferring a SCALAR reduction — transferring the full batch through the
-tunnel (~64 MB) inside the timed region added 5-20% noise (the round-1
-variance source); block_until_ready alone is unreliable here. With scalar
-sync the trial spread is <0.1%, so few trials suffice; the count adapts to
-a wall-clock budget ($R2DM_BENCH_BUDGET_S, default 460 s) because one
-trial costs ~137 s and the driver's bench timeout is finite. A persistent
-XLA compile cache (/tmp) makes warm re-runs skip the ~2-10 min compile.
-Sample sanity (finite, non-degenerate) is asserted on a 2-image slice of
-the warmup chain, outside the timed region.
+Methodology: warmup compiles and times ONE 32-step segment (every chunk of
+the chain reuses that one compiled fn, so a full warmup chain would waste
+~120 s of budget — the round-2 bench ran only 1 trial for exactly that
+reason); then timed full-chain trials with fresh keys run while the
+remaining wall-clock budget ($R2DM_BENCH_BUDGET_S, default 460 s) covers
+the measured per-trial cost, targeting >= 2 trials. Value = median, spread
+reported as (min, max, stdev). Trials are synced by transferring a SCALAR
+reduction — transferring the full batch through the tunnel (~64 MB) inside
+the timed region added 5-20% noise (the round-1 variance source);
+block_until_ready alone is unreliable here. With scalar sync the trial
+spread is <1%. A persistent XLA compile cache (/tmp) makes warm re-runs
+skip the ~2-10 min compile. Sample sanity (finite, non-degenerate) is
+asserted on a 2-image slice of the first trial's output, outside the timed
+region.
+
+Secondary headline (same JSON line, keys ddim32_*): 32-step DDIM serving
+throughput — the few-step mode of the reference sampler
+(continuous_time.py:224-229) at 8x fewer network calls; measured only when
+budget remains after the primary trials.
+
+`--mesh N` (not used by the driver): shard the batch over an N-device
+'data' mesh (jax.sharding) and report AGGREGATE img/s — the artifact behind
+the linear-DP-scaling claim. On this box run it under
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N for a
+virtual mesh (numbers are then CPU-bound: evidence of the sharded path
+executing, not of TPU speed), or on a real pod slice for true scaling.
 
 MFU = achieved TFLOP/s / chip peak, using the measured U-Net cost of
 229.4 GFLOP/forward (jax cost analysis, conv+matmul FLOPs only) x 256 steps
@@ -43,6 +58,7 @@ TFLOP/image; A100 fp16 dense peak 312 TFLOP/s at an assumed 30% MFU (torch
 inductor) -> ~1.6 img/s.
 """
 
+import argparse
 import json
 import os
 import statistics
@@ -59,10 +75,10 @@ BATCH = 256
 STEPS = 256
 CHUNK = 32  # dispatch length: long single dispatches crash the tunnel worker
 MAX_TRIALS = 4
-MIN_TRIALS = 1
+DDIM_STEPS = 32
 
 
-def main():
+def main(mesh_devices: int = 0, batch_per_dev: int = BATCH, steps: int = STEPS):
     budget_s = float(os.environ.get("R2DM_BENCH_BUDGET_S", "460"))
     t_start = time.time()
     # persistent compile cache: warm re-runs skip the XLA compile
@@ -89,65 +105,147 @@ def main():
     }
     diffusion = build_diffusion(cfg, model)
 
-    seg = jax.jit(diffusion.sample_segment)  # (variables, x, key, ts_seg)
-    ts = jnp.linspace(1.0, 0.0, STEPS + 1, dtype=jnp.float32)
+    mesh = None
+    n_dev = 1
+    batch = batch_per_dev
+    if mesh_devices:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    def chain(seed: int):
-        """Full 256-step reverse chain == diffusion.sample(key) exactly."""
+        n_dev = mesh_devices
+        devs = jax.devices()[:n_dev]
+        assert len(devs) == n_dev, f"need {n_dev} devices, have {len(devs)}"
+        mesh = Mesh(np.asarray(devs), ("data",))
+        batch = batch_per_dev * n_dev  # weak scaling: constant per-chip batch
+        rep = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P("data", None, None, None))
+        variables = jax.device_put(variables, rep)
+
+    def jit_seg(mode, ddim_eta=0.0):
+        from functools import partial
+
+        fn = partial(diffusion.sample_segment, mode=mode, ddim_eta=ddim_eta)
+        if mesh is not None:
+            return jax.jit(
+                fn,
+                in_shardings=(rep, sharded, rep, rep),
+                out_shardings=(sharded, rep),
+            )
+        return jax.jit(fn)
+
+    seg = jit_seg("ddpm")  # (variables, x, key, ts_seg)
+    chunk = min(CHUNK, steps)
+    ts = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)
+
+    def init_x(seed: int):
         key = as_typed_key(jax.random.key(seed))
         key, sub = split_key(key)
-        x = normal(sub, (BATCH, *diffusion.sampling_shape))
-        for lo in range(0, STEPS, CHUNK):
-            x, key = seg(variables, x, key, ts[lo : lo + CHUNK + 1])
+        x = normal(sub, (batch, *diffusion.sampling_shape))
+        if mesh is not None:
+            x = jax.device_put(x, sharded)
+        return x, key
+
+    def chain(seed: int, seg_fn=None, ts_all=None, n_steps=None):
+        """Full reverse chain == diffusion.sample(key) exactly."""
+        x, key = init_x(seed)
+        seg_fn = seg_fn or seg
+        ts_all = ts if ts_all is None else ts_all
+        n_steps = steps if n_steps is None else n_steps
+        for lo in range(0, n_steps, chunk):
+            x, key = seg_fn(variables, x, key, ts_all[lo : lo + min(chunk, n_steps - lo) + 1])
         return x
 
-    # compile + warmup; sanity on a 2-image slice (untimed transfer)
-    x = chain(0)
-    float(jnp.sum(x))
-    xn = np.asarray(x[:2], dtype=np.float32)
-    assert np.isfinite(xn).all() and xn.std() > 0.1, "degenerate samples"
-    del x
+    # ---- warmup: compile + time ONE segment (all chunks share the fn)
+    x0, key0 = init_x(0)
+    xw, keyw = seg(variables, x0, key0, ts[: chunk + 1])
+    float(jnp.sum(xw))  # scalar sync: compile + first dispatch done
+    t0 = time.time()
+    seg2 = ts[chunk : 2 * chunk + 1] if steps > chunk else ts[: chunk + 1]
+    xw2, _ = seg(variables, xw, keyw, seg2)
+    float(jnp.sum(xw2))
+    seg_time = time.time() - t0
+    est_trial = seg_time * (steps / chunk)
+    del x0, xw, xw2
 
+    # ---- timed full-chain trials within the remaining budget
     times = []
+    sane = False
     for trial in range(MAX_TRIALS):
-        t0 = time.time()
-        float(jnp.sum(chain(trial + 1)))
-        times.append(time.time() - t0)
-        done = len(times) >= MIN_TRIALS
-        projected = time.time() - t_start + statistics.median(times)
-        if done and projected > budget_s:
+        remaining = budget_s - (time.time() - t_start)
+        # always run 1 trial; stop early only when another clearly won't fit
+        if times and remaining < est_trial * 1.15:
             break
+        t0 = time.time()
+        x = chain(trial + 1)
+        float(jnp.sum(x))
+        times.append(time.time() - t0)
+        est_trial = times[-1]
+        if not sane:  # untimed transfer, first trial only
+            xn = np.asarray(x[:2], dtype=np.float32)
+            assert np.isfinite(xn).all() and xn.std() > 0.1, "degenerate samples"
+            sane = True
+        del x
 
     dt = statistics.median(times)
-    img_per_sec = BATCH / dt
-    mfu = img_per_sec * TFLOP_PER_IMAGE / V5E_PEAK_TFLOPS
+    img_per_sec = batch / dt
+    tflop_per_image = TFLOP_PER_IMAGE * steps / STEPS
+    mfu = img_per_sec / n_dev * tflop_per_image / V5E_PEAK_TFLOPS
 
-    print(
-        json.dumps(
-            {
-                "metric": "sampling_throughput_256step_64x1024",
-                "value": round(img_per_sec, 4),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_A100_IMG_PER_S, 4),
-                "mfu": round(mfu, 4),
-                "batch": BATCH,
-                "steps": STEPS,
-                "chunk": CHUNK,
-                "seconds_median": round(dt, 3),
-                "seconds_min": round(min(times), 3),
-                "seconds_max": round(max(times), 3),
-                "seconds_stdev": round(statistics.stdev(times), 4) if len(times) > 1 else 0.0,
-                "trials": len(times),
-                "device": str(jax.devices()[0]),
-                "baseline_note": (
-                    "vs estimated reference-on-A100 1.6 img/s (no published "
-                    "numbers; see BASELINE.md, incl. the 3.36 img/s 100%-MFU "
-                    "single-chip ceiling at this protocol)"
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": f"sampling_throughput_{steps}step_64x1024",
+        "value": round(img_per_sec, 4),
+        "unit": "img/s/chip" if mesh is None else f"img/s aggregate ({n_dev} dev)",
+        "vs_baseline": round(img_per_sec / n_dev / BASELINE_A100_IMG_PER_S, 4),
+        "mfu": round(mfu, 4),
+        "batch": batch,
+        "steps": steps,
+        "chunk": chunk,
+        "seconds_median": round(dt, 3),
+        "seconds_min": round(min(times), 3),
+        "seconds_max": round(max(times), 3),
+        "seconds_stdev": round(statistics.stdev(times), 4) if len(times) > 1 else 0.0,
+        "trials": len(times),
+        "device": str(jax.devices()[0]),
+        "baseline_note": (
+            "vs estimated reference-on-A100 1.6 img/s (no published "
+            "numbers; see BASELINE.md, incl. the 3.36 img/s 100%-MFU "
+            "single-chip ceiling at this protocol)"
+        ),
+    }
+
+    # ---- secondary headline: 32-step DDIM serving throughput (if budget)
+    ddim_cost = est_trial * (DDIM_STEPS / steps)
+    if (mesh is None and steps == STEPS
+            and budget_s - (time.time() - t_start) > ddim_cost * 3.5):
+        seg_ddim = jit_seg("ddim")
+        ts32 = jnp.linspace(1.0, 0.0, DDIM_STEPS + 1, dtype=jnp.float32)
+        float(jnp.sum(chain(90, seg_ddim, ts32, DDIM_STEPS)))  # compile+warm
+        dts = []
+        for trial in range(2):
+            t0 = time.time()
+            float(jnp.sum(chain(91 + trial, seg_ddim, ts32, DDIM_STEPS)))
+            dts.append(time.time() - t0)
+        ddt = statistics.median(dts)
+        result["ddim32_img_per_s"] = round(batch / ddt, 4)
+        result["ddim32_seconds_median"] = round(ddt, 3)
+        result["ddim32_trials"] = len(dts)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard over an N-device data mesh; report aggregate img/s",
+    )
+    parser.add_argument(
+        "--batch", type=int, default=BATCH,
+        help="per-device batch (protocol default 256; lower it for CPU-mesh "
+        "scaling artifacts)",
+    )
+    parser.add_argument(
+        "--steps", type=int, default=STEPS,
+        help="sampling steps (protocol default 256)",
+    )
+    a = parser.parse_args()
+    main(a.mesh, a.batch, a.steps)

@@ -83,18 +83,41 @@ def main(args):
 
             writer = imageio.get_writer("samples.mp4", mode="I", fps=60)
         except Exception as e:  # noqa: BLE001 — imageio missing OR no ffmpeg backend
+            # fallback: a PNG frame sequence (assemble offline with
+            # `ffmpeg -r 60 -i samples_frames/frame_%04d.png samples.mp4`)
             print(
-                f"video backend unavailable ({type(e).__name__}); "
-                "skipping samples.mp4 (pip install imageio imageio-ffmpeg)"
+                f"video backend unavailable ({type(e).__name__}); writing a "
+                "PNG frame sequence instead (pip install imageio "
+                "imageio-ffmpeg for samples.mp4)"
             )
-            return
-        for x in np.asarray(xs):
+            writer = None
+        # bound the fallback's file count: at most ~128 evenly-spaced frames
+        stride = 1 if writer is not None else max(1, len(xs) // 128)
+        if writer is None:
+            import os
+
+            os.makedirs("samples_frames", exist_ok=True)
+        n_written = 0
+        for i, x in enumerate(np.asarray(xs)):
+            if writer is None and i % stride and i != len(xs) - 1:
+                continue
             img, bev = render_panels(to_unit(jnp.asarray(x)), lidar_utils)
-            frame_top = np.concatenate(list(img), axis=1)
-            frame = frame_top  # range image strip per frame
-            writer.append_data(frame)
-        writer.close()
-        print("wrote samples.mp4")
+            frame = np.concatenate(list(img), axis=1)  # range-image strip
+            if writer is not None:
+                writer.append_data(frame)
+            else:
+                matplotlib.image.imsave(
+                    f"samples_frames/frame_{n_written:04d}.png", frame
+                )
+            n_written += 1
+        if writer is not None:
+            writer.close()
+            print("wrote samples.mp4")
+        else:
+            print(
+                f"wrote {n_written} frames to samples_frames/ "
+                "(ffmpeg -r 60 -i samples_frames/frame_%04d.png samples.mp4)"
+            )
 
 
 if __name__ == "__main__":

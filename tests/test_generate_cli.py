@@ -69,7 +69,10 @@ def test_generate_cli(tiny_ckpt, tmp_path, monkeypatch, video):
         have_video_backend = False
     if video and have_video_backend:
         assert Path("samples.mp4").exists()
-    # without a video backend the --video path must complete without raising
+    elif video:
+        # without a video backend --video falls back to a PNG frame sequence
+        frames = sorted(Path("samples_frames").glob("frame_*.png"))
+        assert len(frames) == 4  # steps+1 snapshots for a 3-step chain
     img = np.asarray(__import__("matplotlib.image", fromlist=["imread"]).imread(
         "samples_img.png"
     ))

@@ -168,6 +168,13 @@ class EfficientUNet(nn.Module):
     # trades ~1 extra forward of FLOPs for O(levels) activation memory,
     # enabling larger per-chip batches (HBM is the usual TPU bottleneck)
     remat: bool = False
+    # remat ONLY the outermost (level-1) blocks: their activations are the
+    # largest (full 64x1024 resolution) while their FLOPs are the cheapest
+    # per byte, so selective remat frees most of the activation memory for a
+    # fraction of whole-net remat's recompute cost (which measured negative,
+    # NEXT.md). Composable with neither `remat` (subsumed) nor a reason to:
+    # whole-net remat wins only when HBM, not time, is the binding constraint
+    remat_level1: bool = False
     # run the outermost (64-channel) level in channels-major (B,C,H,W)
     # layout (W in MXU lanes instead of C_out=64). Mathematically identical;
     # two layout transposes at the level-1/2 boundary. Measured round 1:
@@ -252,6 +259,12 @@ class EfficientUNet(nn.Module):
         Block = (
             nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         )
+        # level-1-only remat (see remat_level1 above)
+        BlockL1 = (
+            nn.remat(UNetBlock, static_argnums=(3,))
+            if (self.remat or self.remat_level1)
+            else UNetBlock
+        )
         if (self.channels_major_l1 or self.width_merge_l1) and not self.ring:
             raise ValueError(
                 "channels_major_l1 / width_merge_l1 require ring convolutions "
@@ -273,7 +286,7 @@ class EfficientUNet(nn.Module):
             C[0], ring=self.ring, data_format=l1_df, align_in="aligned",
             dtype=self.dtype, name="in_conv",
         )(h)
-        h1 = Block(C[1], N[0], data_format=l1_df, name="d_block1", **cfg)(
+        h1 = BlockL1(C[1], N[0], data_format=l1_df, name="d_block1", **cfg)(
             h, temb, deterministic
         )
         if self.channels_major_l1:
@@ -298,7 +311,7 @@ class EfficientUNet(nn.Module):
             h = w2c.phase_concat(h, h1)  # both offset-aligned
         else:
             h = jnp.concatenate([h, h1], axis=-1)
-        h = Block(C[0], N[0], data_format=l1_df, name="u_block1", **cfg)(
+        h = BlockL1(C[0], N[0], data_format=l1_df, name="u_block1", **cfg)(
             h, temb, deterministic
         )
         out_ch = self.in_channels if self.out_channels is None else self.out_channels

@@ -462,6 +462,14 @@ def _folded_gn_coeffs(x, num_groups, eps, gain, shift, data_format, phases=1):
     return a * g, b * g + s
 
 
+# Compute dtype of the GN/AdaGN FMA+SiLU pass (experiment knob, probe
+# tools/probe_trainstep.py). Default fp32: matches torch GroupNorm (autocast
+# runs norms fp32) and all goldens. bf16 changes the forward by one rounding
+# but halves the fp32 residual/cotangent buffers the backward pass
+# materializes for this chain — a training-HBM lever at the 64-lane levels.
+GN_ACT_COMPUTE_DTYPE = jnp.float32
+
+
 def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
     """GroupNorm + optional SiLU, via the Pallas kernel when enabled.
 
@@ -484,7 +492,8 @@ def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
         a, b = a[:, :, None, None], b[:, :, None, None]
     # FMA in fp32 registers (casts fuse; same memory traffic), single final
     # rounding to x.dtype — avoids bf16 cancellation when |mean| >> std
-    y = x.astype(jnp.float32) * a + b
+    cd = GN_ACT_COMPUTE_DTYPE
+    y = x.astype(cd) * a.astype(cd) + b.astype(cd)
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)

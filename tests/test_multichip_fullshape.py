@@ -1,0 +1,143 @@
+"""Full-shape (config-H, 64x1024) multi-chip parity on the 8-device CPU mesh.
+
+VERDICT r2 weak #2: the fast multichip checks run toy nets (16x128, base 8),
+so a shape-dependent GSPMD partitioning bug — halo exchange across the FIR
+resamples at W=1024, the 1024-token bottleneck attention, W2C under width
+sharding — would pass every fast check. These tests run the REAL flagship
+geometry (reference train.py:76-89 config H: base 64, multiplier (1,2,4,8),
+3 residual blocks per level) once per mesh layout and assert
+sharded-vs-single parity.
+
+Heavy by construction (full-graph CPU compiles + ~TFLOP executions): marked
+`slow`; budget ~10-25 min on a 1-CPU box with a warm compile cache.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from r2dm_tpu.config import Config, TrainingConfig
+from r2dm_tpu.diffusion import ContinuousTimeGaussianDiffusion
+from r2dm_tpu.inference import build_model, model_coords
+from r2dm_tpu.parallel import make_mesh, shard_batch
+from r2dm_tpu.training import (
+    EMAConfig,
+    init_train_state,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+)
+
+pytestmark = pytest.mark.slow
+
+BATCH = 8  # divisible by every mesh's data axis below
+
+
+@pytest.fixture(scope="module")
+def config_h_training():
+    """Flagship model + train state at the published geometry, W2C layout
+    (the train.py default, config.training.width_merge_l1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = Config()  # config H, 64x1024
+    model = build_model(cfg, width_merge_l1=cfg.training.width_merge_l1)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 64, 1024, 2)), jnp.zeros((1,))
+    )
+    variables = {
+        **variables,
+        "buffers": {"coords": jnp.asarray(model_coords(cfg))},
+    }
+    ddpm = ContinuousTimeGaussianDiffusion(model=model, noise_schedule="cosine")
+    tx, _ = make_optimizer(TrainingConfig(lr=1e-4, lr_warmup_steps=2, num_steps=10))
+    state = init_train_state(variables["params"], variables["buffers"], tx)
+    step_fn = make_train_step(ddpm, tx, EMAConfig())
+    x_0 = jax.random.normal(jax.random.key(1), (BATCH, 64, 1024, 2))
+    # single-device reference step (shared by both mesh layouts)
+    state_single, metrics_single = jax.jit(step_fn)(
+        state, x_0, jax.random.key(2), None
+    )
+    return state, step_fn, x_0, state_single, metrics_single
+
+
+@pytest.mark.parametrize("mesh_shape", [(8,), (4, 2)], ids=["dp8", "dp4xsp2"])
+def test_fullshape_train_step_parity(config_h_training, mesh_shape):
+    """One config-H train step (loss+grads+AdamW+EMA) sharded over the mesh
+    must match the single-device step: exercises gradient psum, ring-conv
+    halo exchange at W=1024 (W2C-merged 512), FIR-resample halos, and the
+    1024-token attention under GSPMD at the real shapes."""
+    state, step_fn, x_0, state_single, metrics_single = config_h_training
+    mesh = make_mesh(mesh_shape)
+    state_sharded = jax.device_put(
+        jax.tree.map(jnp.array, state),  # deep copy: the step donates state
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    state2, metrics = jit_train_step(step_fn, mesh)(
+        state_sharded, shard_batch(mesh, x_0), jax.random.key(2), None
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_single["loss"]), rtol=1e-5
+    )
+    # params after one optimizer step must match across a representative
+    # subset of leaves (full-tree comparison is cheap on host memory)
+    leaves_a = jax.tree.leaves(state2.params)
+    leaves_b = jax.tree.leaves(state_single.params)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in list(zip(leaves_a, leaves_b))[::7] + [
+        (leaves_a[-1], leaves_b[-1])
+    ]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fullshape_sampling_segment_parity():
+    """A 2-step sampling segment of the NHWC serving graph, batch-sharded
+    over (8,), must equal the single-device segment bitwise-ish at 64x1024."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = Config()
+    model = build_model(cfg)  # NHWC serving layout
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 64, 1024, 2)), jnp.zeros((1,))
+    )
+    variables = {
+        **variables,
+        "buffers": {"coords": jnp.asarray(model_coords(cfg))},
+    }
+    # zero-init out_conv makes a fresh net output exactly 0 — randomize so
+    # the probe exercises real activations (verify-skill gotcha)
+    rng = np.random.default_rng(0)
+    variables = {
+        **variables,
+        "params": jax.tree.map(
+            lambda l: jnp.asarray(
+                rng.standard_normal(l.shape, dtype=np.float32) * 0.05
+            ),
+            variables["params"],
+        ),
+    }
+    ddpm = ContinuousTimeGaussianDiffusion(model=model, noise_schedule="cosine")
+    x = jax.random.normal(jax.random.key(3), (BATCH, 64, 1024, 2))
+    key = jax.random.key(4)
+    ts = jnp.linspace(1.0, 0.5, 3, dtype=jnp.float32)
+
+    y_single, _ = jax.jit(ddpm.sample_segment)(variables, x, key, ts)
+
+    mesh = make_mesh((8,))
+    rep = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data", None, None, None))
+    seg = jax.jit(
+        partial(ddpm.sample_segment),
+        in_shardings=(rep, sharded, rep, rep),
+        out_shardings=(sharded, rep),
+    )
+    y_mesh, _ = seg(
+        jax.device_put(variables, rep), jax.device_put(x, sharded), key, ts
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_mesh), np.asarray(y_single), atol=2e-5, rtol=1e-5
+    )

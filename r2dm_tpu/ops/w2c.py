@@ -33,25 +33,84 @@ tests/test_w2c.py against the NHWC path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Lowering of the merge/unmerge layout transforms:
+#   "conv":    identity-block-kernel convolutions (space-to-depth on the
+#              MXU). On the v5e the logical reshape is NOT free — XLA
+#              re-tiles the (W, C) minor dims through scalar-ish copies at
+#              ~100-140 GB/s (measured 30/43 ms per merge/unmerge at b256
+#              level-1 shapes, tools/probe_level1.py), which single-handedly
+#              erased the W2C conv win in round 2. The identity conv moves
+#              the same bytes through the MXU data path instead. Exact for
+#              bf16 AND fp32 (fp32 convs decompose into exact bf16x3 passes
+#              against a kernel of ones).
+#   "reshape": the straightforward lax.reshape (+roll for offset).
+LAYOUT_OP_IMPL = "conv"
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _merge_kernel(C: int, dtype) -> jnp.ndarray:
+    """(1, 2, C, 2C): tap p routes input channel c to output p*C + c."""
+    eye = jnp.eye(C, dtype=dtype)
+    z = jnp.zeros((C, C), dtype=dtype)
+    tap0 = jnp.concatenate([eye, z], axis=-1)  # even column -> phase0 block
+    tap1 = jnp.concatenate([z, eye], axis=-1)  # odd column  -> phase1 block
+    return jnp.stack([tap0, tap1], axis=0)[None]  # (1, 2, C, 2C)
 
 
 def merge_width_pairs(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H, W/2, 2C), aligned layout (pure reshape)."""
+    """(B, H, W, C) -> (B, H, W/2, 2C), aligned layout."""
     B, H, W, C = x.shape
     assert W % 2 == 0, "width-pair merge needs even W"
+    if LAYOUT_OP_IMPL == "conv":
+        return jax.lax.conv_general_dilated(
+            x, _merge_kernel(C, x.dtype), (1, 2), ((0, 0), (0, 0)),
+            dimension_numbers=_DN,
+        )
     return x.reshape(B, H, W // 2, 2 * C)
 
 
 def unmerge_width_pairs(x: jnp.ndarray, alignment: str = "aligned") -> jnp.ndarray:
     """(B, H, W', 2C) -> (B, H, 2W', C). ``alignment`` names the merged
-    layout; "offset" costs one circular roll (m was reshape(roll(x, +1)))."""
+    layout; "offset" means m[w'] = (x[2w'-1], x[2w']) (one circular shift).
+    """
     B, H, Wm, C2 = x.shape
-    y = x.reshape(B, H, 2 * Wm, C2 // 2)
+    C = C2 // 2
+    assert alignment in ("aligned", "offset"), alignment
+    if LAYOUT_OP_IMPL == "conv":
+        # depth-to-space as a width-2 conv on the 2x lhs-dilated input.
+        # aligned: out[2w'] = phase0(m[w']), out[2w'+1] = phase1(m[w'])
+        #   -> pad (1,1): out[v] = Kp1 . xd[v-1] + Kp0 . xd[v]
+        # offset:  out[2w'] = phase1(m[w']), out[2w'+1] = phase0(m[w'+1])
+        #   -> pad (0,2): out[v] = Kp1 . xd[v] + Kp0 . xd[v+1]; the final
+        #      column (phase0 of the wrapped m[0]) lands on zero padding and
+        #      is restored with a boundary correction (ring semantics of the
+        #      roll in the reshape formulation)
+        eye = jnp.eye(C, dtype=x.dtype)
+        z = jnp.zeros((C, C), dtype=x.dtype)
+        k_p0 = jnp.concatenate([eye, z], axis=0)  # (2C, C) select phase0
+        k_p1 = jnp.concatenate([z, eye], axis=0)  # (2C, C) select phase1
+        if alignment == "aligned":
+            kernel = jnp.stack([k_p1, k_p0], axis=0)[None]  # (1, 2, 2C, C)
+            pad_w = (1, 1)
+        else:
+            kernel = jnp.stack([k_p1, k_p0], axis=0)[None]
+            pad_w = (0, 2)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((0, 0), pad_w), lhs_dilation=(1, 2),
+            dimension_numbers=_DN,
+        )
+        if alignment == "offset":
+            # last output column wraps to phase0 of merged column 0
+            corr = x[:, :, 0:1, :C]
+            y = y + jnp.pad(corr, ((0, 0), (0, 0), (2 * Wm - 1, 0), (0, 0)))
+        return y
+    y = x.reshape(B, H, 2 * Wm, C)
     if alignment == "offset":
         y = jnp.roll(y, -1, axis=2)
-    else:
-        assert alignment == "aligned", alignment
     return y
 
 

@@ -120,6 +120,35 @@ def test_w2c_residual_block_parity(in_ch, out_ch):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_layout_op_conv_impl_matches_reshape(dtype):
+    """merge/unmerge lowered as identity-block convs (MXU space-to-depth)
+    must equal the reshape formulation BITWISE in both alignments — on the
+    v5e the reshape re-tiles at ~100-140 GB/s (probe_level1.py) while the
+    conv moves the same bytes through the MXU ~5x faster."""
+    x = _rand(20, (2, 4, 16, 6)).astype(dtype)
+    old = w2c.LAYOUT_OP_IMPL
+    try:
+        w2c.LAYOUT_OP_IMPL = "reshape"
+        m_ref = w2c.merge_width_pairs(x)
+        u_refs = {
+            a: w2c.unmerge_width_pairs(m_ref, a) for a in ("aligned", "offset")
+        }
+        w2c.LAYOUT_OP_IMPL = "conv"
+        np.testing.assert_array_equal(
+            np.asarray(w2c.merge_width_pairs(x), np.float32),
+            np.asarray(m_ref, np.float32),
+        )
+        for a, u_ref in u_refs.items():
+            np.testing.assert_array_equal(
+                np.asarray(w2c.unmerge_width_pairs(m_ref, a), np.float32),
+                np.asarray(u_ref, np.float32),
+                err_msg=a,
+            )
+    finally:
+        w2c.LAYOUT_OP_IMPL = old
+
+
 def test_phase_concat_matches_channel_concat():
     B, H, W = 1, 2, 8
     a, b = _rand(11, (B, H, W, 4)), _rand(12, (B, H, W, 6))

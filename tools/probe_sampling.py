@@ -1,0 +1,89 @@
+"""Integrated sampling A/B: time a 32-step b256 segment across model configs.
+
+The headline bench (bench.py) is 8 such segments; one segment at the
+protocol batch is the cheapest faithful proxy for end-to-end throughput
+(same compiled graph, same per-step cost). Scalar-sync timed (CLAUDE.md).
+
+Usage: python tools/probe_sampling.py --configs nhwc,w2c [--batch 256]
+Configs: nhwc (serving default), w2c (width_merge_l1).
+Prints one JSON line per config with per-image per-step cost and the
+implied 256-step img/s/chip.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STEPS = 32
+
+
+def run(config: str, batch: int, reps: int) -> dict:
+    from r2dm_tpu import Config
+    from r2dm_tpu.diffusion.base import as_typed_key, normal, split_key
+    from r2dm_tpu.inference import build_diffusion, build_model, model_coords
+
+    cfg = Config()
+    model = build_model(
+        cfg, dtype=jnp.bfloat16, width_merge_l1=(config == "w2c")
+    )
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 64, 1024, 2)), jnp.zeros((1,))
+    )
+    rng = np.random.default_rng(0)
+    variables = {
+        "params": jax.tree.map(
+            lambda l: jnp.asarray(
+                rng.standard_normal(l.shape, dtype=np.float32) * 0.05
+            ),
+            variables["params"],
+        ),
+        "buffers": {"coords": jnp.asarray(model_coords(cfg))},
+    }
+    diffusion = build_diffusion(cfg, model)
+    seg = jax.jit(diffusion.sample_segment)
+    ts = jnp.linspace(1.0, 0.0, STEPS + 1, dtype=jnp.float32)
+
+    key = as_typed_key(jax.random.key(1))
+    key, sub = split_key(key)
+    x = normal(sub, (batch, *diffusion.sampling_shape))
+    x, key = seg(variables, x, key, ts)  # compile + warm
+    float(jnp.sum(x[0, 0, 0, :1]))
+    trials = []
+    for _ in range(reps):
+        t0 = time.time()
+        x, key = seg(variables, x, key, ts)
+        float(jnp.sum(x[0, 0, 0, :1]))
+        trials.append(time.time() - t0)
+    dt = float(np.median(trials))
+    ms_img_step = dt / STEPS / batch * 1e3
+    return {
+        "config": config,
+        "batch": batch,
+        "seg_seconds": round(dt, 3),
+        "spread": round((max(trials) - min(trials)) / dt, 4),
+        "ms_per_img_step": round(ms_img_step, 4),
+        "implied_256step_img_per_s": round(1.0 / (ms_img_step * 256 / 1e3), 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=str, default="nhwc,w2c")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/r2dm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    for config in args.configs.split(","):
+        print(json.dumps(run(config.strip(), args.batch, args.reps)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

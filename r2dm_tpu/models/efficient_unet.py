@@ -71,10 +71,16 @@ class UNetBlock(nn.Module):
     ring: bool = True
     data_format: str = "NHWC"
     align_in: str = "offset"  # W2C levels: resblock phase alignment
-    # NHWC up-block feeding a W2C level: after the FIR upsample, merge width
-    # pairs and run up_conv at full MXU width; returns a MERGED tensor with
-    # "offset" alignment (ops/w2c.py)
+    # NHWC up-block feeding a W2C level: the FIR upsample, the width-pair
+    # merge AND the up_conv compose into one conv emitting ALIGNED merged
+    # output (ops/fused_resample.upsample_then_conv_merged) — the standalone
+    # merge re-tiles at ~100-145 GB/s (tools/probe_level1.py)
     w2c_up: bool = False
+    # NHWC down-block RECEIVING a W2C level's output: down_conv + FIR-down
+    # consume the ALIGNED merged input directly (stride-2 unmerged == dense
+    # stride-1 merged; ops/fused_resample.conv_then_downsample_merged), so
+    # the unmerge pass disappears
+    w2c_down: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -91,7 +97,15 @@ class UNetBlock(nn.Module):
         from .layers import FUSED_RESAMPLE
 
         if self.down > 1:
-            if FUSED_RESAMPLE in (True, "both", "down") and self.ring:
+            if self.w2c_down:
+                # input is the W2C level's ALIGNED merged tensor; the merged
+                # composition is required for correctness (not gated on the
+                # FUSED_RESAMPLE perf knob)
+                h = RingConv(
+                    self.out_channels, ring=self.ring, dtype=self.dtype,
+                    name="down_conv",
+                )(h, fused_resample="down_merged")
+            elif FUSED_RESAMPLE in (True, "both", "down") and self.ring:
                 # conv + FIR downsample composed into one stride-2 conv
                 # (exact; ops/fused_resample.py)
                 h = RingConv(
@@ -126,12 +140,10 @@ class UNetBlock(nn.Module):
             )(h)
         if self.up > 1:
             if self.w2c_up:
-                h = upsample2x(h, ring=self.ring)
-                h = w2c.merge_width_pairs(h)
                 h = RingConv(
-                    self.out_channels, ring=self.ring, data_format="W2C",
-                    align_in="aligned", dtype=self.dtype, name="up_conv",
-                )(h)  # -> merged, offset alignment
+                    self.out_channels, ring=self.ring, dtype=self.dtype,
+                    name="up_conv",
+                )(h, fused_resample="up_merged")  # -> merged, ALIGNED
             elif FUSED_RESAMPLE in (True, "both", "up") and self.ring:
                 # FIR upsample + conv composed into one dilated conv
                 h = RingConv(
@@ -280,22 +292,34 @@ class EfficientUNet(nn.Module):
         )
         if self.channels_major_l1:
             h = jnp.transpose(h, (0, 3, 1, 2))  # level 1 runs channels-major
-        elif self.width_merge_l1:
-            h = w2c.merge_width_pairs(h)  # aligned; in_conv flips to offset
-        h = RingConv(
-            C[0], ring=self.ring, data_format=l1_df, align_in="aligned",
-            dtype=self.dtype, name="in_conv",
-        )(h)
-        h1 = BlockL1(C[1], N[0], data_format=l1_df, name="d_block1", **cfg)(
-            h, temb, deterministic
-        )
+        if self.width_merge_l1:
+            # level-1 entry: ring conv with the width-pair merge composed
+            # into its strided fetch — emits ALIGNED merged (no layout pass)
+            h = RingConv(
+                C[0], ring=self.ring, dtype=self.dtype, name="in_conv",
+            )(h, fused_resample="merge_in")
+        else:
+            h = RingConv(
+                C[0], ring=self.ring, data_format=l1_df, align_in="aligned",
+                dtype=self.dtype, name="in_conv",
+            )(h)
+        # W2C level-1 interior runs the ALIGNED convention: every boundary
+        # transform is composed into the adjacent conv (merge_in above,
+        # down_merged / up_merged at the level-2 interface below), so no
+        # merged<->unmerged layout pass ever materializes at 64ch width
+        l1_align = "aligned"
+        h1 = BlockL1(
+            C[1], N[0], data_format=l1_df, align_in=l1_align, name="d_block1",
+            **cfg,
+        )(h, temb, deterministic)
         if self.channels_major_l1:
             h1_mid = jnp.transpose(h1, (0, 2, 3, 1))
-        elif self.width_merge_l1:
-            h1_mid = w2c.unmerge_width_pairs(h1, "offset")
         else:
-            h1_mid = h1
-        h2 = Block(C[2], N[1], down=2, name="d_block2", **cfg)(h1_mid, temb, deterministic)
+            h1_mid = h1  # W2C: d_block2 consumes the merged tensor directly
+        h2 = Block(
+            C[2], N[1], down=2, w2c_down=self.width_merge_l1, name="d_block2",
+            **cfg,
+        )(h1_mid, temb, deterministic)
         h3 = Block(C[3], N[2], down=2, name="d_block3", **cfg)(h2, temb, deterministic)
         h4 = Block(C[4], N[3], down=2, attn=True, name="d_block4", **cfg)(h3, temb, deterministic)
         h = Block(C[3], N[3], up=2, attn=True, name="u_block4", **cfg)(h4, temb, deterministic)
@@ -308,19 +332,24 @@ class EfficientUNet(nn.Module):
         if self.channels_major_l1:
             h = jnp.concatenate([jnp.transpose(h, (0, 3, 1, 2)), h1], axis=1)
         elif self.width_merge_l1:
-            h = w2c.phase_concat(h, h1)  # both offset-aligned
+            h = w2c.phase_concat(h, h1)  # both ALIGNED
         else:
             h = jnp.concatenate([h, h1], axis=-1)
-        h = BlockL1(C[0], N[0], data_format=l1_df, name="u_block1", **cfg)(
-            h, temb, deterministic
-        )
+        h = BlockL1(
+            C[0], N[0], data_format=l1_df,
+            align_in=l1_align if self.width_merge_l1 else "offset",
+            name="u_block1", **cfg,
+        )(h, temb, deterministic)
         out_ch = self.in_channels if self.out_channels is None else self.out_channels
         h = RingConv(
             out_ch, ring=self.ring, zero_init=True, data_format=l1_df,
-            align_in="offset", dtype=self.dtype, name="out_conv",
+            align_in="aligned" if self.width_merge_l1 else "offset",
+            dtype=self.dtype, name="out_conv",
         )(h)
         if self.channels_major_l1:
             h = jnp.transpose(h, (0, 2, 3, 1))
         elif self.width_merge_l1:
-            h = w2c.unmerge_width_pairs(h, "aligned")
+            # out_conv flips aligned -> offset; the unmerge runs on the tiny
+            # out_ch-channel tensor (negligible vs the 64ch re-tile)
+            h = w2c.unmerge_width_pairs(h, "offset")
         return h.astype(jnp.float32)

@@ -53,6 +53,9 @@ class _RingConv3x3(nn.Module):
     ) -> jnp.ndarray:
         nhwc = self.data_format == "NHWC"
         C_in = x.shape[-1] if nhwc else x.shape[1]
+        if fused_resample == "down_merged":
+            # consumes a width-pair-MERGED input; params stay unmerged HWIO
+            C_in = x.shape[-1] // 2
         kernel_init = (
             nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         )
@@ -64,8 +67,9 @@ class _RingConv3x3(nn.Module):
             else None
         )
         if fused_resample is not None:
-            # conv composed with its adjacent FIR resample into ONE conv
-            # (ops/fused_resample.py); exact — same params, same math
+            # conv composed with its adjacent FIR resample — or with the W2C
+            # level-boundary layout transform — into ONE conv
+            # (ops/fused_resample.py, ops/w2c.py); exact: same params/math
             assert nhwc and prologue is None
             from ..ops import fused_resample as fr
 
@@ -73,6 +77,15 @@ class _RingConv3x3(nn.Module):
             k = kernel.astype(xc.dtype)
             if fused_resample == "down":
                 return fr.conv_then_downsample(xc, k, bias)
+            if fused_resample == "merge_in":
+                # ring conv emitting ALIGNED merged output (level-1 entry)
+                return w2c.in_conv_merged(xc, k, bias)
+            if fused_resample == "down_merged":
+                # conv∘FIR-down consuming ALIGNED merged level-1 input
+                return fr.conv_then_downsample_merged(xc, k, bias)
+            if fused_resample == "up_merged":
+                # FIR-up∘conv emitting ALIGNED merged level-1 output
+                return fr.upsample_then_conv_merged(xc, k, bias)
             assert fused_resample == "up", fused_resample
             return fr.upsample_then_conv(xc, k, bias)
         if prologue is not None:

@@ -103,6 +103,67 @@ def conv_then_downsample(
     return y
 
 
+def _merge_w_kernel(k6: jnp.ndarray) -> jnp.ndarray:
+    """Remap a 6-W-tap composed kernel (..., 6, Ci, Co) to consume ALIGNED
+    width-pair-merged input: slot (jm, phase) <- unmerged tap 2*jm + phase.
+    (..., 6, Ci, Co) -> (..., 3, 2Ci, Co), fully dense (the stride-2 window
+    start is even, so taps map 1:1 onto merged-column phase blocks)."""
+    parts = []
+    for jm in range(3):
+        blocks = jnp.concatenate(
+            [k6[..., 2 * jm, :, :], k6[..., 2 * jm + 1, :, :]], axis=-2
+        )  # (..., 2Ci, Co)
+        parts.append(blocks)
+    return jnp.stack(parts, axis=-3)  # (..., 3, 2Ci, Co)
+
+
+def conv_then_downsample_merged(
+    xm: jnp.ndarray, kernel: jnp.ndarray, bias
+) -> jnp.ndarray:
+    """== conv_then_downsample(unmerge_width_pairs(xm, "aligned"), ...), with
+    the unmerge composed away (VERDICT r3: the standalone unmerge re-tiles at
+    ~100-145 GB/s whatever its lowering — tools/probe_level1.py).
+
+    ``xm`` is the ALIGNED merged level-1 tensor (B, H, Wm, 2Ci). The fused
+    conv+FIR-down window x[2o-2 .. 2o+3] has an even start, so its 6 W taps
+    land exactly on the 3x2 phase slots of merged columns o-1..o+1 — a DENSE
+    (6, 3, 2Ci, Co) kernel at stride (2, 1) with merged ring pad (1, 1):
+    identical FLOPs to the NHWC composition, full 128-lane contraction.
+    H boundary corrections as in conv_then_downsample, computed on merged
+    single rows with the same slot mapping.
+    """
+    B, H, Wm, C2i = xm.shape
+    Ci = C2i // 2
+    assert kernel.shape[:3] == (3, 3, Ci), (kernel.shape, xm.shape)
+    C2 = _composed_kernel(kernel, 1.0)  # (6, 6, Ci, Co); W taps on axis -3
+    Km = _merge_w_kernel(C2)  # (6, 3, 2Ci, Co)
+    f = _fir_window(jnp.float32)
+    xp = jnp.pad(xm, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+    xp = jnp.pad(xp, ((0, 0), (2, 3), (0, 0), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, Km, (2, 1), ((0, 0), (0, 0)), dimension_numbers=_DN
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+
+    def row_correction(row_m, k_row):
+        """fir_w_down(z_row(row, k_row)) on a MERGED row: the 1-row analogue
+        of the main conv with the row-composed 6-tap W kernel."""
+        rc = _row_composed_kernel(k_row, 1.0)[0]  # (6, Ci, Co)
+        Kr = _merge_w_kernel(rc)[None]  # (1, 3, 2Ci, Co)
+        rp = jnp.pad(row_m, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+        out = lax.conv_general_dilated(
+            rp, Kr, (1, 1), ((0, 0), (0, 0)), dimension_numbers=_DN
+        )
+        return out + bias.astype(out.dtype) if bias is not None else out
+
+    corr_top = (-f[0] * row_correction(xm[:, 0:1], kernel[2])).astype(y.dtype)
+    corr_bot = (-f[3] * row_correction(xm[:, H - 1 : H], kernel[0])).astype(y.dtype)
+    y = y.at[:, 0:1].add(corr_top)
+    y = y.at[:, -1:].add(corr_bot)
+    return y
+
+
 def upsample_then_conv(
     h: jnp.ndarray, kernel: jnp.ndarray, bias, impl: str = "polyphase"
 ) -> jnp.ndarray:
@@ -166,4 +227,58 @@ def upsample_then_conv(
     corr_bot = (w_comp_row(h[:, H - 1 : H], kernel[2]) * (2.0 * f[0])).astype(y.dtype)
     y = y.at[:, 0:1].add(-corr_top)
     y = y.at[:, -1:].add(-corr_bot)
+    return y
+
+
+def upsample_then_conv_merged(
+    h: jnp.ndarray, kernel: jnp.ndarray, bias
+) -> jnp.ndarray:
+    """== merge_width_pairs(upsample_then_conv(h, kernel, bias)) (ALIGNED),
+    with the merge composed away.
+
+    The W phases of the upsampled-then-convolved signal ARE the merged
+    channel blocks, so the polyphase decomposition writes merged output
+    directly: per output H phase p, ONE standard 3x3-window conv with the
+    W-phase-blocked kernel (3, 3, Ci, 2Co) built from Cu = K (*) FIR'
+    (q block = Cu[1-p::2, 1-q::2]); the two H phases then interleave along
+    the MAJOR H axis (a fast row copy — unlike the W/C interleave transpose
+    that made the NHWC polyphase lowering 15% slower, NEXT.md round 2).
+    Same FLOPs as the unfused 3x3 at full resolution; H-margin corrections
+    as in upsample_then_conv, W-polyphased onto merged rows.
+    """
+    B, H, Wm, Ci = h.shape
+    Co = kernel.shape[-1]
+    Cu = _composed_kernel(kernel, 2.0)  # (6, 6, Ci, Co)
+    f = _fir_window(jnp.float32)
+    hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+
+    def phase_conv(p):
+        # (3, 3, Ci, 2Co): W-phase q in the output channel block q
+        Kp = jnp.concatenate(
+            [Cu[1 - p :: 2, 1 - 0 :: 2], Cu[1 - p :: 2, 1 - 1 :: 2]], axis=-1
+        )
+        return lax.conv_general_dilated(
+            hp, Kp, (1, 1), ((1, 1), (0, 0)), dimension_numbers=_DN
+        )
+
+    g0, g1 = phase_conv(0), phase_conv(1)  # (B, H, Wm, 2Co) each
+
+    def w_comp_row_merged(row, k_row):
+        """Merged-aligned W-up composition on one row: q block = phase q."""
+        Cw = _row_composed_kernel(k_row, 2.0)[0]  # (6, Ci, Co)
+        Kr = jnp.stack([Cw[1::2], Cw[0::2]], axis=0)  # (q, 3, Ci, Co)
+        Kr = jnp.concatenate([Kr[0], Kr[1]], axis=-1)[None]  # (1, 3, Ci, 2Co)
+        rp = jnp.pad(row, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+        return lax.conv_general_dilated(
+            rp, Kr, (1, 1), ((0, 0), (0, 0)), dimension_numbers=_DN
+        )
+
+    corr_top = (w_comp_row_merged(h[:, 0:1], kernel[0]) * (2.0 * f[3])).astype(g0.dtype)
+    corr_bot = (w_comp_row_merged(h[:, H - 1 : H], kernel[2]) * (2.0 * f[0])).astype(g1.dtype)
+    g0 = g0.at[:, 0:1].add(-corr_top)
+    g1 = g1.at[:, -1:].add(-corr_bot)
+    # H interleave: out[2t] = g0[t], out[2t+1] = g1[t] (major-axis row copy)
+    y = jnp.stack([g0, g1], axis=2).reshape(B, 2 * H, Wm, 2 * Co)
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 2)
     return y

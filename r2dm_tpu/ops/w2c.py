@@ -157,6 +157,58 @@ def expand_kernel_3x3(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([tap0, tap1], axis=1)  # (3, 2, 2C, 2F)
 
 
+def expand_kernel_in(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, F) -> (3, 4, C, 2F): ring conv consuming UNMERGED NHWC input
+    and producing ALIGNED merged output at stride (1, 2).
+
+    out[w', p*F+f] = y[2w'+p] with y = ringconv3x3(x): taps x[2w'+p+d-1]
+    (d = 0..2) -> a width-4 window starting at 2w'-1 (pad_lo 1), slot
+    j = p + d: phase0 fills j 0..2, phase1 fills j 1..3 (75% dense, same
+    useful FLOPs as the merged-input W2C conv). Composing the merge INTO the
+    conv's strided fetch makes the standalone merge pass (a ~30 ms minor-dim
+    re-tile at b256 level-1 shapes, tools/probe_level1.py) disappear.
+    """
+    kh, kw, C, F = k.shape
+    assert (kh, kw) == (3, 3), k.shape
+    z = jnp.zeros_like(k[:, 0])  # (3, C, F)
+    taps = []
+    for j in range(4):
+        p0 = k[:, j] if j < 3 else z  # phase0 block: k tap d = j
+        p1 = k[:, j - 1] if j >= 1 else z  # phase1 block: k tap d = j - 1
+        taps.append(jnp.concatenate([p0, p1], axis=-1))  # (3, C, 2F)
+    return jnp.stack(taps, axis=1)  # (3, 4, C, 2F)
+
+
+def in_conv_merged(x: jnp.ndarray, k: jnp.ndarray, bias) -> jnp.ndarray:
+    """== merge_width_pairs(ring_conv3x3(x, k) + bias) (ALIGNED), composed:
+    one stride-(1,2) conv + two boundary-column ring corrections."""
+    import jax.lax as lax
+
+    B, H, W, C = x.shape
+    k4 = expand_kernel_in(k).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, k4, (1, 2), ((1, 1), (1, 1)), dimension_numbers=_DN
+    )
+    # wrap corrections: the zero pad at v=-1 stands in for x[W-1] (reaching
+    # out[0] through phase0 slot j=0) and at v=W for x[0] (reaching
+    # out[Wm-1] through phase1 slot j=3); k4's phase structure zeroes the
+    # other block of each slice automatically
+    corr_l = lax.conv_general_dilated(
+        x[:, :, W - 1 :], k4[:, 0:1], (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=_DN,
+    )
+    corr_r = lax.conv_general_dilated(
+        x[:, :, 0:1], k4[:, 3:4], (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=_DN,
+    )
+    Wm = W // 2
+    y = y + jnp.pad(corr_l, ((0, 0), (0, 0), (0, Wm - 1), (0, 0)))
+    y = y + jnp.pad(corr_r, ((0, 0), (0, 0), (Wm - 1, 0), (0, 0)))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 2)
+    return y
+
+
 def expand_kernel_1x1(k: jnp.ndarray) -> jnp.ndarray:
     """(1, 1, C, F) -> (1, 1, 2C, 2F) block-diagonal (alignment-preserving)."""
     _, _, C, F = k.shape

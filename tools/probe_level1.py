@@ -171,6 +171,13 @@ def main():
         ("conv_w512_128_to_128", "conv", W // 2, 128, 128),
         # the exact in-model W2C ring conv (3x2 expanded kernel + wrap fix)
         ("conv_w2c_exact", "w2c", W // 2, 128, 128),
+        # polyphase-composition candidates (generic conv: kernel/stride/pad)
+        # level-boundary DOWN: fused conv+FIR as NHWC stride-2 6x6 ...
+        ("conv_down_nhwc", "convg", W, 64, 128),
+        # ... vs consuming MERGED input: stride-(2,1) 6x3 at W/2, same FLOPs
+        ("conv_down_merged", "convg", W // 2, 128, 128),
+        # level-boundary UP merged-out conv: dense 3x3 128->256 at W/2
+        ("conv_up_merged", "convg", W // 2, 128, 256),
         # layout transforms at the level boundaries (merge/unmerge)
         ("w2c_merge", "merge", W, 64, 0),
         ("w2c_unmerge", "unmerge", W // 2, 128, 0),
@@ -183,6 +190,41 @@ def main():
         x = mk(ci) if w_eff == W else jax.jit(
             lambda: jax.random.normal(jax.random.key(0), (B, H, w_eff, ci), jnp.bfloat16)
         )()
+        if kind == "convg":
+            spec = {
+                # (kh, kw, stride_h, stride_w, pad) per candidate
+                "conv_down_nhwc": (6, 6, 2, 2, ((2, 2), (2, 2))),
+                "conv_down_merged": (6, 3, 2, 1, ((2, 2), (1, 1))),
+                "conv_up_merged": (3, 3, 1, 1, ((1, 1), (1, 1))),
+            }[name]
+            kh, kw, sh, sw, pad = spec
+            k = jnp.asarray(
+                rng.standard_normal((kh, kw, ci, co), dtype=np.float32) * 0.05,
+                jnp.bfloat16,
+            )
+            g_fn = jax.jit(
+                lambda x, k, sh=sh, sw=sw, pad=pad: jax.lax.conv_general_dilated(
+                    x, k, (sh, sw), pad, dimension_numbers=dn
+                )
+            )
+            dt = timeit(g_fn, (x, k), args.reps)
+            out_h = (H + pad[0][0] + pad[0][1] - kh) // sh + 1
+            out_w = (w_eff + pad[1][0] + pad[1][1] - kw) // sw + 1
+            flops = 2 * kh * kw * ci * co * B * out_h * out_w
+            print(
+                json.dumps(
+                    {
+                        "case": name,
+                        "ms": round(dt * 1e3, 3),
+                        "tflops": round(flops / dt / 1e12, 1),
+                        "mfu": round(flops / dt / 1e12 / 197.0, 3),
+                    }
+                ),
+                flush=True,
+            )
+            results[name] = dt
+            del x, k
+            continue
         if kind == "w2c":
             from r2dm_tpu.ops import w2c as w2c_ops
 

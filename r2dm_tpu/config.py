@@ -79,10 +79,18 @@ class TrainingConfig:
     profile_dir: Optional[str] = None  # capture a JAX device trace of steps 10-15
     # run the outermost U-Net level width-pair-merged (ops/w2c.py) during
     # training: exact math, identical parameter tree/checkpoints, measured
-    # +36% training throughput at batch 32 on the v5e (the backward pass
-    # suffers doubly from 64-channel tensors: half-idle MXU lanes AND 2x
-    # HBM lane padding). efficient_unet only; ignored for other nets.
+    # +36% training throughput at batch 32 on the v5e round 2 and +46% over
+    # NHWC in round 3 once every level-boundary layout transform was
+    # composed into its adjacent conv (ops/fused_resample.py merged ops).
+    # efficient_unet only; ignored for other nets.
     width_merge_l1: bool = True
+    # compute the GroupNorm/AdaGN FMA+SiLU pass in bf16 during training
+    # (models/layers.py GN_ACT_COMPUTE_DTYPE): one extra bf16 rounding in
+    # the forward, but the backward stops materializing fp32
+    # activation-sized cotangent buffers for the norm chains — measured
+    # +4.9% train step at b32 (281.5 -> 268.4 ms, round 3). Inference and
+    # golden tests keep fp32 (torch autocast parity).
+    gn_bf16: bool = True
 
 
 @dataclass

@@ -27,6 +27,8 @@ so the training path uses it too.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -164,8 +166,14 @@ def conv_then_downsample_merged(
     return y
 
 
+# Default lowering of the fused up composition (see upsample_then_conv):
+# "polyphase" | "dilated" | "h_polyphase". Only used when FUSED_RESAMPLE
+# includes "up" (models/layers.py) — measured numbers in NEXT.md.
+UP_IMPL = "h_polyphase"
+
+
 def upsample_then_conv(
-    h: jnp.ndarray, kernel: jnp.ndarray, bias, impl: str = "polyphase"
+    h: jnp.ndarray, kernel: jnp.ndarray, bias, impl: Optional[str] = None
 ) -> jnp.ndarray:
     """== ring_conv3x3(upsample2x(h), kernel) + bias, composed.
 
@@ -182,10 +190,27 @@ def upsample_then_conv(
     u[-1] = 2 f[3] Wup(h[0]) and u[2H] = 2 f[0] Wup(h[H-1]) — subtract
     those single-row contributions through K's edge rows.
     """
+    impl = UP_IMPL if impl is None else impl
     B, H, W, Ci = h.shape
     Cu = _composed_kernel(kernel, 2.0)
     f = _fir_window(jnp.float32)
-    if impl == "polyphase":
+    if impl == "h_polyphase":
+        # H phases as two stride-1 convs (the H interleave is a MAJOR-axis
+        # row copy — cheap, unlike the W/C interleave of full "polyphase");
+        # W stays lhs-dilated, so only the W-axis dilation zeros are wasted
+        # (half of the full dilated variant's waste)
+        Co = Cu.shape[-1]
+        hp = jnp.pad(h, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="wrap")
+        grid = [
+            lax.conv_general_dilated(
+                hp, Cu[1 - p :: 2], (1, 1), ((1, 1), (0, 0)),
+                lhs_dilation=(1, 2), dimension_numbers=_DN,
+            )[:, :, 1:-1]
+            for p in range(2)
+        ]
+        # out[2t+p] = grid[p][t]
+        y = jnp.stack(grid, axis=2).reshape(B, 2 * H, 2 * W, Co)
+    elif impl == "polyphase":
         Co = Cu.shape[-1]
         hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
         grid = [

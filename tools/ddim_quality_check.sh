@@ -1,0 +1,60 @@
+#!/bin/bash
+# Relative-quality check for the few-step DDIM serving mode (VERDICT r2 #6):
+# train a short synthetic run, sample the SAME seeds with 256-step DDPM and
+# 32-step DDIM, evaluate both against the cached synthetic real set with
+# random extractors, and report the FRD/FPD gap. Random-extractor numbers
+# are NOT comparable to the paper — only the 32-vs-256 GAP on identical
+# seeds/extractors is meaningful (pipeline-relative quality).
+#
+# Usage: bash tools/ddim_quality_check.sh [workdir] [num_samples]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK=${1:-/tmp/r2dm_ddim_quality}
+N=${2:-64}
+mkdir -p "$WORK"
+
+if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
+  python train.py \
+    --data.dataset synthetic \
+    --training.num_steps 600 \
+    --training.batch_size 32 \
+    --training.steps_save_model 600 \
+    --training.steps_save_image 1000000 \
+    --training.output_dir "$WORK/ckpt"
+fi
+
+for spec in "256 ddpm" "32 ddim"; do
+  set -- $spec
+  steps=$1; mode=$2
+  out="$WORK/samples_${mode}${steps}"
+  if [ ! -d "$out" ] || [ "$(ls "$out" | grep -c npz)" -lt "$N" ]; then
+    python sample_and_save.py \
+      --ckpt "$WORK/ckpt/checkpoint.msgpack" \
+      --output_dir "$out" --num_samples "$N" --batch_size 64 \
+      --num_steps "$steps" --mode "$mode"
+  fi
+  python evaluate.py \
+    --ckpt "$WORK/ckpt/checkpoint.msgpack" \
+    --sample_dir "$out" --allow_random_extractors
+done
+
+python - "$WORK" <<'EOF'
+import json, sys, glob, pathlib
+work = sys.argv[1]
+def newest(tag):
+    files = sorted(glob.glob(f"{work}/samples_{tag}_*.json"))
+    assert files, f"no eval json for {tag}"
+    return json.load(open(files[-1]))
+a = newest("ddpm256")
+b = newest("ddim32")
+rows = {}
+for grp in ("img", "pts", "bev"):
+    for k, v256 in a.get(grp, {}).items():
+        v32 = b[grp][k]
+        rows[f"{grp}.{k}"] = {
+            "ddim32": round(float(v32), 4),
+            "ddpm256": round(float(v256), 4),
+            "ratio": round(float(v32) / float(v256), 3) if v256 else None,
+        }
+print(json.dumps({"ddim32_vs_ddpm256_random_extractors": rows}, indent=2))
+EOF

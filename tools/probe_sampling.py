@@ -28,6 +28,13 @@ def run(config: str, batch: int, reps: int) -> dict:
     from r2dm_tpu import Config
     from r2dm_tpu.diffusion.base import as_typed_key, normal, split_key
     from r2dm_tpu.inference import build_diffusion, build_model, model_coords
+    from r2dm_tpu.models import layers
+    from r2dm_tpu.ops import fused_resample as frs
+
+    layers.FUSED_RESAMPLE = "down"
+    if config.startswith("nhwc_up_"):
+        layers.FUSED_RESAMPLE = "both"
+        frs.UP_IMPL = config[len("nhwc_up_") :]  # h_polyphase | polyphase | dilated
 
     cfg = Config()
     model = build_model(

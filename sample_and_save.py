@@ -4,22 +4,23 @@ tensors (depth, xyz, reflectance) per seed.
 TPU counterpart of the reference sample_and_save.py: the accelerate
 multi-rank seed sharding (:25-46) becomes process-index striding; per-seed
 determinism uses batched PRNG keys (⇔ per-seed torch.Generators, :71-77).
-Sampling + postprocess run as one compiled program per batch; outputs are
-.npz files (5, H, W) [depth, x, y, z, reflectance] compatible with
-evaluate.py (which also reads the reference's .pth layout).
+Sampling goes through ``DDPM.sample`` so large chains are auto-chunked into
+segment dispatches (a single multi-minute dispatch can trip tunneled-TPU
+watchdogs — see inference.AUTO_CHUNK_WORK); postprocess is a second small
+compiled program. Outputs are .npz files (5, H, W)
+[depth, x, y, z, reflectance] compatible with evaluate.py (which also reads
+the reference's .pth layout).
 """
 
 from __future__ import annotations
 
 import argparse
-from functools import partial
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from r2dm_tpu.diffusion import key_batch_from_seeds
 from r2dm_tpu.inference import setup_model
 
 
@@ -29,12 +30,8 @@ def main(args):
     save_dir = Path(args.output_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
 
-    @partial(jax.jit, static_argnames=("batch_size",))
-    def sample_batch(variables, keys, batch_size):
-        x = ddpm.diffusion.sample(
-            variables, keys, batch_size=batch_size,
-            num_steps=args.num_steps, mode=args.mode,
-        )
+    @jax.jit
+    def postprocess(x):
         x = jnp.clip(x, -1, 1)
         x = lidar_utils.denormalize(x)
         depth = lidar_utils.revert_depth(x[..., 0:1])
@@ -49,10 +46,16 @@ def main(args):
     seeds = seeds[jax.process_index():: jax.process_count()]
     for lo in range(0, len(seeds), args.batch_size):
         batch_seeds = seeds[lo : lo + args.batch_size]
-        keys = key_batch_from_seeds(batch_seeds.tolist())
-        samples = np.asarray(
-            sample_batch(ddpm.variables, keys, batch_size=len(batch_seeds))
+        # DDPM.sample applies the AUTO_CHUNK_WORK segment guard (per-seed
+        # keys = key_batch_from_seeds, same stream as before)
+        x = ddpm.sample(
+            batch_size=len(batch_seeds),
+            num_steps=args.num_steps,
+            seeds=batch_seeds.tolist(),
+            mode=args.mode,
+            data_format="NHWC",
         )
+        samples = np.asarray(postprocess(x))
         for seed, sample in zip(batch_seeds, samples):
             np.savez_compressed(
                 save_dir / f"samples_{seed:010d}.npz", sample=sample

@@ -17,7 +17,7 @@ if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
   python train.py \
     --data.dataset synthetic \
     --training.num_steps 600 \
-    --training.batch_size 32 \
+    --training.batch_size_train 32 \
     --training.steps_save_model 600 \
     --training.steps_save_image 1000000 \
     --training.output_dir "$WORK/ckpt"

@@ -47,7 +47,11 @@ def render_panels(x, lidar_utils):
 
 
 def main(args):
-    ddpm, lidar_utils, cfg = setup_model(args.ckpt)
+    ddpm, lidar_utils, cfg = setup_model(
+        args.ckpt,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        width_merge_l1=args.latency_layout,
+    )
     # NHWC internally; per-sample seeds for reproducibility
     xs = ddpm.sample(
         batch_size=args.batch_size,
@@ -128,4 +132,13 @@ if __name__ == "__main__":
     parser.add_argument("--sampling_steps", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--video", action="store_true")
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 network compute (TPU fast path; schedule math stays fp32)",
+    )
+    parser.add_argument(
+        "--latency_layout", action="store_true",
+        help="width-pair-merged level 1 (W2C): +19%% at small batch "
+        "(serving latency lane; see CLAUDE.md perf notes)",
+    )
     main(parser.parse_args())

@@ -84,12 +84,12 @@ class TrainingConfig:
     # composed into its adjacent conv (ops/fused_resample.py merged ops).
     # efficient_unet only; ignored for other nets.
     width_merge_l1: bool = True
-    # compute the GroupNorm/AdaGN FMA+SiLU pass in bf16 during training
-    # (models/layers.py GN_ACT_COMPUTE_DTYPE): one extra bf16 rounding in
-    # the forward, but the backward stops materializing fp32
-    # activation-sized cotangent buffers for the norm chains — measured
-    # +4.9% train step at b32 (281.5 -> 268.4 ms, round 3). Inference and
-    # golden tests keep fp32 (torch autocast parity).
+    # compute the GroupNorm/AdaGN FMA+SiLU pass in the activation dtype
+    # (models/layers.py GN_ACT_COMPUTE_DTYPE=None): one extra bf16 rounding
+    # in the forward, but XLA stops materializing fp32 copies of the norm
+    # chains — measured +4.9% train step at b32 (281.5 -> 268.4 ms) and
+    # +10.6% b256 sampling (round 3). False forces fp32 (torch autocast
+    # parity); fp32 models (goldens, validate_pretrained) are always fp32.
     gn_bf16: bool = True
 
 

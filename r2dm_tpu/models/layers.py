@@ -475,12 +475,18 @@ def _folded_gn_coeffs(x, num_groups, eps, gain, shift, data_format, phases=1):
     return a * g, b * g + s
 
 
-# Compute dtype of the GN/AdaGN FMA+SiLU pass (experiment knob, probe
-# tools/probe_trainstep.py). Default fp32: matches torch GroupNorm (autocast
-# runs norms fp32) and all goldens. bf16 changes the forward by one rounding
-# but halves the fp32 residual/cotangent buffers the backward pass
-# materializes for this chain — a training-HBM lever at the 64-lane levels.
-GN_ACT_COMPUTE_DTYPE = jnp.float32
+# Compute dtype of the GN/AdaGN FMA+SiLU pass (probes: tools/probe_trainstep
+# .py, tools/probe_sampling.py). None (default) = follow the activation
+# dtype: fp32 models (goldens, validate_pretrained) keep torch-GroupNorm
+# fp32 parity, bf16 models run the pass in bf16. The fp32 pass already
+# rounds its RESULT to x.dtype, so bf16 compute only changes the forward by
+# ~1 bf16 ulp — but it stops XLA materializing fp32 copies of the norm
+# chains: measured +10.6% b256 sampling (2.028 -> 1.824 ms/img-step, round
+# 3) and +4.9% b32 train step; the backward also drops the fp32
+# activation-sized cotangent buffers (the training-HBM lever at the 64-lane
+# levels). Set to jnp.float32 to force the old behavior (config
+# training.gn_bf16=False does this for training).
+GN_ACT_COMPUTE_DTYPE = None
 
 
 def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
@@ -503,9 +509,7 @@ def _gn_act(x, num_groups, eps, gain, shift, silu: bool, data_format="NHWC"):
         a, b = a[:, None, None, :], b[:, None, None, :]
     else:
         a, b = a[:, :, None, None], b[:, :, None, None]
-    # FMA in fp32 registers (casts fuse; same memory traffic), single final
-    # rounding to x.dtype — avoids bf16 cancellation when |mean| >> std
-    cd = GN_ACT_COMPUTE_DTYPE
+    cd = GN_ACT_COMPUTE_DTYPE if GN_ACT_COMPUTE_DTYPE is not None else x.dtype
     y = x.astype(cd) * a.astype(cd) + b.astype(cd)
     if silu:
         y = y * jax.nn.sigmoid(y)

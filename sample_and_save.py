@@ -25,7 +25,9 @@ from r2dm_tpu.inference import setup_model
 
 
 def main(args):
-    ddpm, lidar_utils, cfg = setup_model(args.ckpt)
+    ddpm, lidar_utils, cfg = setup_model(
+        args.ckpt, dtype=jnp.bfloat16 if args.bf16 else None
+    )
     lidar_utils.data_format = "NHWC"
     save_dir = Path(args.output_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -71,4 +73,8 @@ if __name__ == "__main__":
     parser.add_argument("--num_samples", type=int, default=10_000)
     parser.add_argument("--num_steps", type=int, default=256)
     parser.add_argument("--mode", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 network compute (TPU fast path; schedule math stays fp32)",
+    )
     main(parser.parse_args())

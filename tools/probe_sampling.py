@@ -5,7 +5,8 @@ protocol batch is the cheapest faithful proxy for end-to-end throughput
 (same compiled graph, same per-step cost). Scalar-sync timed (CLAUDE.md).
 
 Usage: python tools/probe_sampling.py --configs nhwc,w2c [--batch 256]
-Configs: nhwc (serving default), w2c (width_merge_l1).
+Configs: nhwc (serving default), w2c (width_merge_l1), nhwc_up_* (up-fusion
+lowerings), and any of those + "_gnbf16" (bf16 GN FMA+SiLU pass).
 Prints one JSON line per config with per-image per-step cost and the
 implied 256-step img/s/chip.
 """
@@ -35,10 +36,21 @@ def run(config: str, batch: int, reps: int) -> dict:
     if config.startswith("nhwc_up_"):
         layers.FUSED_RESAMPLE = "both"
         frs.UP_IMPL = config[len("nhwc_up_") :]  # h_polyphase | polyphase | dilated
+    if config.endswith("_gnbf16"):
+        # bf16 GN FMA+SiLU pass (now the follow-dtype default; measured here
+        # +10.6% at b256): stats stay fp32, only the normalize/affine math
+        # rounds once more before the (already bf16) conv.
+        layers.GN_ACT_COMPUTE_DTYPE = jnp.bfloat16
+        config_base = config[: -len("_gnbf16")]
+    else:
+        # pin fp32 so the un-suffixed configs stay a true A/B baseline even
+        # though the library default now follows the bf16 activation dtype
+        layers.GN_ACT_COMPUTE_DTYPE = jnp.float32
+        config_base = config
 
     cfg = Config()
     model = build_model(
-        cfg, dtype=jnp.bfloat16, width_merge_l1=(config == "w2c")
+        cfg, dtype=jnp.bfloat16, width_merge_l1=(config_base == "w2c")
     )
     variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, 64, 1024, 2)), jnp.zeros((1,))

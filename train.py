@@ -78,12 +78,12 @@ def train(cfg: config_lib.Config) -> None:
 
     # ---------------------------------------------------------------- model
     channels = int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
-    if tcfg.gn_bf16 and tcfg.mixed_precision == "bf16":
-        # bf16 GN/AdaGN pass: halves the norm chains' backward HBM traffic
-        # (config.py note; forward deviates by one bf16 rounding)
+    if not tcfg.gn_bf16:
+        # force the GN/AdaGN pass to fp32 regardless of model dtype (the
+        # default follows the activation dtype — config.py note)
         from r2dm_tpu.models import layers as _layers
 
-        _layers.GN_ACT_COMPUTE_DTYPE = jnp.bfloat16
+        _layers.GN_ACT_COMPUTE_DTYPE = jnp.float32
     model = build_model(
         cfg,
         dtype=jnp.bfloat16 if tcfg.mixed_precision == "bf16" else None,

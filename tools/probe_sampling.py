@@ -7,6 +7,10 @@ protocol batch is the cheapest faithful proxy for end-to-end throughput
 Usage: python tools/probe_sampling.py --configs nhwc,w2c [--batch 256]
 Configs: nhwc (serving default), w2c (width_merge_l1), nhwc_up_* (up-fusion
 lowerings), and any of those + "_gnbf16" (bf16 GN FMA+SiLU pass).
+Attribution configs (library-default GN, NHWC): base, abl_nol1 / nol2 /
+nol3 / nol4 (zero resblocks at that level), abl_noattn (attention blocks
+as identity), abl_nocoords (no coordinate encoding) — the share of a
+component is (base - ablated) / base.
 Prints one JSON line per config with per-image per-step cost and the
 implied 256-step img/s/chip.
 """
@@ -36,7 +40,13 @@ def run(config: str, batch: int, reps: int) -> dict:
     if config.startswith("nhwc_up_"):
         layers.FUSED_RESAMPLE = "both"
         frs.UP_IMPL = config[len("nhwc_up_") :]  # h_polyphase | polyphase | dilated
-    if config.endswith("_gnbf16"):
+    abl = None
+    if config == "base" or config.startswith("abl_"):
+        # attribution configs: library-default GN (follow activation dtype)
+        layers.GN_ACT_COMPUTE_DTYPE = None
+        config_base = "nhwc"
+        abl = config[len("abl_") :] if config.startswith("abl_") else None
+    elif config.endswith("_gnbf16"):
         # bf16 GN FMA+SiLU pass (now the follow-dtype default; measured here
         # +10.6% at b256): stats stay fp32, only the normalize/affine math
         # rounds once more before the (already bf16) conv.
@@ -49,6 +59,24 @@ def run(config: str, batch: int, reps: int) -> dict:
         config_base = config
 
     cfg = Config()
+    if abl in ("nol1", "nol2", "nol3", "nol4"):
+        n = [3, 3, 3, 3]
+        n[int(abl[-1]) - 1] = 0
+        cfg.model.num_residual_blocks = tuple(n)
+    elif abl == "nocoords":
+        cfg.model.coords_encoding = None
+    elif abl == "noattn":
+        # attention blocks as identity (resblocks/resamples untouched);
+        # restored for later configs in this process via _orig_call
+        if not hasattr(layers.SelfAttentionBlock, "_orig_call"):
+            layers.SelfAttentionBlock._orig_call = (
+                layers.SelfAttentionBlock.__call__
+            )
+        layers.SelfAttentionBlock.__call__ = lambda self, x: x
+    elif abl is not None:
+        raise ValueError(f"unknown ablation: {abl}")
+    if abl != "noattn" and hasattr(layers.SelfAttentionBlock, "_orig_call"):
+        layers.SelfAttentionBlock.__call__ = layers.SelfAttentionBlock._orig_call
     model = build_model(
         cfg, dtype=jnp.bfloat16, width_merge_l1=(config_base == "w2c")
     )

@@ -181,6 +181,12 @@ def main():
         # layout transforms at the level boundaries (merge/unmerge)
         ("w2c_merge", "merge", W, 64, 0),
         ("w2c_unmerge", "unmerge", W // 2, 128, 0),
+        # BATCH-pack instead of W-pack: g images' 64 channels share the 128
+        # (or 256) lanes via feature_group_count=g — unlike W2C block
+        # kernels this has ZERO FLOP overhead. Same useful work as
+        # conv_64_to_64 (B images of 3x3 64->64); compare ms directly.
+        ("conv_grouped_2x64", "grp2", W, 128, 128),
+        ("conv_grouped_4x64", "grp4", W, 256, 256),
     ]
     if args.cases:
         keep = set(args.cases.split(","))
@@ -247,6 +253,40 @@ def main():
             )
             results[name] = dt
             del a
+            continue
+        if kind in ("grp2", "grp4"):
+            g = int(kind[-1])
+            x = jax.jit(
+                lambda ci=ci: jax.random.normal(
+                    jax.random.key(0), (B // g, H, W, ci), jnp.bfloat16
+                )
+            )()
+            k = jnp.asarray(
+                rng.standard_normal((3, 3, 64, 64 * g), dtype=np.float32) * 0.05,
+                jnp.bfloat16,
+            )
+            g_fn = jax.jit(
+                lambda x, k, g=g: jax.lax.conv_general_dilated(
+                    x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+                    feature_group_count=g,
+                )
+            )
+            dt = timeit(g_fn, (x, k), args.reps)
+            flops = 2 * 9 * 64 * 64 * B * H * W  # useful work only
+            print(
+                json.dumps(
+                    {
+                        "case": name,
+                        "ms": round(dt * 1e3, 3),
+                        "tflops": round(flops / dt / 1e12, 1),
+                        "mfu": round(flops / dt / 1e12 / 197.0, 3),
+                        "note": "same useful work as conv_64_to_64",
+                    }
+                ),
+                flush=True,
+            )
+            results[name] = dt
+            del x, k
             continue
         if kind in ("merge", "unmerge"):
             from r2dm_tpu.ops import w2c as w2c_ops

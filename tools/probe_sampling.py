@@ -63,6 +63,16 @@ def run(config: str, batch: int, reps: int) -> dict:
         n = [3, 3, 3, 3]
         n[int(abl[-1]) - 1] = 0
         cfg.model.num_residual_blocks = tuple(n)
+    elif abl == "skeleton":
+        # boundary convs + FIR resamples + sampler glue only: no resblocks,
+        # no attention, no coord encoding — the floor under every ablation
+        cfg.model.num_residual_blocks = (0, 0, 0, 0)
+        cfg.model.coords_encoding = None
+        if not hasattr(layers.SelfAttentionBlock, "_orig_call"):
+            layers.SelfAttentionBlock._orig_call = (
+                layers.SelfAttentionBlock.__call__
+            )
+        layers.SelfAttentionBlock.__call__ = lambda self, x: x
     elif abl == "nocoords":
         cfg.model.coords_encoding = None
     elif abl == "noattn":
@@ -75,7 +85,9 @@ def run(config: str, batch: int, reps: int) -> dict:
         layers.SelfAttentionBlock.__call__ = lambda self, x: x
     elif abl is not None:
         raise ValueError(f"unknown ablation: {abl}")
-    if abl != "noattn" and hasattr(layers.SelfAttentionBlock, "_orig_call"):
+    if abl not in ("noattn", "skeleton") and hasattr(
+        layers.SelfAttentionBlock, "_orig_call"
+    ):
         layers.SelfAttentionBlock.__call__ = layers.SelfAttentionBlock._orig_call
     model = build_model(
         cfg, dtype=jnp.bfloat16, width_merge_l1=(config_base == "w2c")

@@ -32,6 +32,12 @@ from jax import lax
 
 from .pad import ring_pad
 
+# Lower direction="hw" resamples as ONE 2-D depthwise conv (rank-1 kernel)
+# instead of two separable 1-D convs: exact same math, half the HBM
+# round-trips (see the branch in fir_resample). False restores the
+# separable lowering.
+FIR_2D_FUSED = True
+
 
 def _axis_params(k: int, up: int, down: int) -> tuple[int, int]:
     """p0/p1 pad sizes per reference models/ops.py:98-109."""
@@ -124,6 +130,28 @@ def fir_resample(
     w_lo = pw0 - margin * up_w
     w_hi = pw1 + up_w - 1 - margin * up_w
 
+    if direction == "hw" and FIR_2D_FUSED:
+        # ONE 2-D depthwise conv instead of two separable 1-D passes: the
+        # rank-1 outer-product kernel is mathematically identical (up to one
+        # fp reassociation in the tap products, computed here in fp32), but
+        # halves the HBM round-trips. Standalone it is 1.75x faster (46.7 ->
+        # 26.6 ms for the (256,32,512,128) up2, 115 -> 202 GB/s on v5e);
+        # in-model the gain shrinks to +0.8% end-to-end (1.822 -> 1.808
+        # ms/img-step, b256 32-step segment A/B) because XLA already
+        # overlaps the separable passes in-graph — same isolated-probe
+        # exaggeration as the conv MFU probes (CLAUDE.md round-3 notes).
+        C = x.shape[-1]
+        k2 = jnp.outer(kernel, kernel)
+        rhs = jnp.tile(k2.reshape(k_h, k_w, 1, 1), (1, 1, 1, C))
+        return lax.conv_general_dilated(
+            x,
+            rhs.astype(x.dtype),
+            window_strides=(down_h, down_w),
+            padding=((h_lo, h_hi), (w_lo, w_hi)),
+            lhs_dilation=(up_h, up_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
     if "h" in direction:
         x = _fir_1d(x, kernel, 1, up_h, down_h, h_lo, h_hi)
     else:

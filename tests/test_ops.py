@@ -58,6 +58,39 @@ def test_fir_resample_matches_reference(resample_golden, name, kwargs):
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [dict(up=2, ring=True), dict(down=2, ring=False), dict(up=4, ring=True)],
+)
+def test_fir_2d_fused_matches_separable(kwargs):
+    """The 2-D depthwise lowering is an exact drop-in for the separable one
+    (values AND gradients), so either FIR_2D_FUSED setting is safe."""
+    import jax
+
+    from r2dm_tpu.ops import resample as rs
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 5), dtype=np.float32))
+
+    def run(fused):
+        old = rs.FIR_2D_FUSED
+        rs.FIR_2D_FUSED = fused
+        rs.fir_resample.clear_cache()  # flag is read at trace time
+        try:
+            val, grad = jax.value_and_grad(
+                lambda v: jnp.sum(jnp.sin(rs.fir_resample(v, **kwargs)))
+            )(x)
+            return float(val), np.asarray(grad)
+        finally:
+            rs.FIR_2D_FUSED = old
+            rs.fir_resample.clear_cache()
+
+    v_fused, g_fused = run(True)
+    v_sep, g_sep = run(False)
+    np.testing.assert_allclose(v_fused, v_sep, rtol=1e-6)
+    np.testing.assert_allclose(g_fused, g_sep, rtol=1e-5, atol=1e-6)
+
+
 def test_ring_pad_matches_reference():
     g = np.load(GOLDEN / "ops_misc.npz")
     x = nchw_to_nhwc(g["x"])

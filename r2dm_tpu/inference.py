@@ -229,6 +229,13 @@ class DDPM:
         ~17 s segments are stable), and chunking costs nothing — segment
         dispatches queue asynchronously and the math is bit-identical.
         """
+        if mode == "dpmpp_2m" and isinstance(
+            self.diffusion, DiscreteTimeGaussianDiffusion
+        ):
+            raise ValueError(
+                "mode='dpmpp_2m' requires continuous-time diffusion "
+                "(the solver integrates the logSNR-parameterized PF-ODE)"
+            )
         work = batch_size * num_steps * int(np.prod(self.sampling_shape[:-1]))
         auto_chunk = work >= self.AUTO_CHUNK_WORK
         if progress or auto_chunk:
@@ -250,6 +257,13 @@ class DDPM:
                     num_steps=num_steps,
                     mode=mode,
                     eta=ddim_eta,
+                    return_all=return_all,
+                )
+            elif mode == "dpmpp_2m":
+                fn = partial(
+                    self.diffusion.sample_dpmpp,
+                    batch_size=batch_size,
+                    num_steps=num_steps,
                     return_all=return_all,
                 )
             else:
@@ -299,6 +313,7 @@ class DDPM:
             raise ValueError(f"progress_chunk must be >= 1, got {chunk}")
         diff = self.diffusion
         discrete = isinstance(diff, DiscreteTimeGaussianDiffusion)
+        dpmpp = (not discrete) and mode == "dpmpp_2m"
         sig = ("segment", batch_size, mode, float(ddim_eta), mesh, return_all)
 
         def make():
@@ -307,6 +322,8 @@ class DDPM:
                     diff.sample_segment, mode=mode, eta=ddim_eta,
                     return_all=return_all,
                 )
+            elif dpmpp:
+                fn = partial(diff.dpmpp_2m_segment, return_all=return_all)
             else:
                 fn = partial(
                     diff.sample_segment, mode=mode, ddim_eta=ddim_eta,
@@ -317,16 +334,17 @@ class DDPM:
 
                 rep = NamedSharding(mesh, P())
                 sharded = NamedSharding(mesh, P("data", None, None, None))
-                out_sh = (
-                    (sharded, rep, NamedSharding(mesh, P(None, "data")))
-                    if return_all
-                    else (sharded, rep)
-                )
-                return jax.jit(
-                    fn,
-                    in_shardings=(rep, sharded, rep, rep),
-                    out_shardings=out_sh,
-                )
+                stack = NamedSharding(mesh, P(None, "data"))
+                if dpmpp:
+                    # (variables, x, prev_x0, prev_lam, key, ts_seg, 2nd-order)
+                    in_sh = (rep, sharded, sharded, sharded, rep, rep, rep)
+                    out_sh = (sharded, sharded, sharded, rep)
+                else:
+                    in_sh = (rep, sharded, rep, rep)
+                    out_sh = (sharded, rep)
+                if return_all:
+                    out_sh = (*out_sh, stack)
+                return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
             return jax.jit(fn)
 
         seg_fn = self._cached_jit(sig, make)
@@ -340,18 +358,32 @@ class DDPM:
             ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
         else:
             ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+        if dpmpp:
+            idx = jnp.arange(num_steps)
+            second_order = (idx > 0) & (idx < num_steps - 1)
+            prev_x0 = jnp.zeros_like(x)
+            prev_lam = jnp.zeros((batch_size, 1, 1, 1), jnp.float32)
         stacks = [x[None]] if return_all else None
         t0 = time.time()
         done = 0
         while done < num_steps:
             n = min(chunk, num_steps - done)
             seg = ts[done : done + n] if discrete else ts[done : done + n + 1]
-            out = seg_fn(self.variables, x, key, seg)
-            if return_all:
-                x, key, xs = out
+            if dpmpp:
+                out = seg_fn(
+                    self.variables, x, prev_x0, prev_lam, key, seg,
+                    second_order[done : done + n],
+                )
+                if return_all:
+                    x, prev_x0, prev_lam, key, xs = out
+                    stacks.append(xs)
+                else:
+                    x, prev_x0, prev_lam, key = out
+            elif return_all:
+                x, key, xs = seg_fn(self.variables, x, key, seg)
                 stacks.append(xs)
             else:
-                x, key = out
+                x, key = seg_fn(self.variables, x, key, seg)
             first = done == 0
             done += n
             if show:

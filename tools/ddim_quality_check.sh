@@ -1,9 +1,10 @@
 #!/bin/bash
-# Relative-quality check for the few-step DDIM serving mode (VERDICT r2 #6):
-# train a short synthetic run, sample the SAME seeds with 256-step DDPM and
-# 32-step DDIM, evaluate both against the cached synthetic real set with
+# Relative-quality check for the few-step serving modes (VERDICT r2 #6):
+# train a short synthetic run, sample the SAME seeds with 256-step DDPM,
+# 32-step DDIM, and 32-step DPM-Solver++(2M), evaluate all against the
+# cached synthetic real set with
 # random extractors, and report the FRD/FPD gap. Random-extractor numbers
-# are NOT comparable to the paper — only the 32-vs-256 GAP on identical
+# are NOT comparable to the paper — only the few-step-vs-256 GAP on identical
 # seeds/extractors is meaningful (pipeline-relative quality).
 #
 # Usage: bash tools/ddim_quality_check.sh [workdir] [num_samples]
@@ -23,7 +24,7 @@ if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
     --training.output_dir "$WORK/ckpt"
 fi
 
-for spec in "256 ddpm" "32 ddim"; do
+for spec in "256 ddpm" "32 ddim" "32 dpmpp_2m"; do
   set -- $spec
   steps=$1; mode=$2
   out="$WORK/samples_${mode}${steps}"
@@ -47,14 +48,14 @@ def newest(tag):
     return json.load(open(files[-1]))
 a = newest("ddpm256")
 b = newest("ddim32")
+c = newest("dpmpp_2m32")
 rows = {}
 for grp in ("img", "pts", "bev"):
     for k, v256 in a.get(grp, {}).items():
-        v32 = b[grp][k]
         rows[f"{grp}.{k}"] = {
-            "ddim32": round(float(v32), 4),
+            "ddim32": round(float(b[grp][k]), 4),
+            "dpmpp32": round(float(c[grp][k]), 4),
             "ddpm256": round(float(v256), 4),
-            "ratio": round(float(v32) / float(v256), 3) if v256 else None,
         }
-print(json.dumps({"ddim32_vs_ddpm256_random_extractors": rows}, indent=2))
+print(json.dumps({"few_step_vs_ddpm256_random_extractors": rows}, indent=2))
 EOF

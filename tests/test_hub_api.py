@@ -85,3 +85,41 @@ def test_mesh_parallel_sampling():
     np.testing.assert_allclose(
         np.asarray(x_prog), np.asarray(x_plain), atol=1e-5
     )
+
+
+def test_mesh_parallel_sampling_dpmpp_chunked():
+    """The dpmpp_2m chunked path under a mesh: the extended segment carry
+    (x, prev_x0, prev_lam, key) must shard correctly and match both the
+    unsharded and the monolithic results."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from r2dm_tpu.config import Config, DataConfig, ModelConfig
+    from r2dm_tpu.inference import DDPM, build_diffusion, build_model, model_coords
+    from r2dm_tpu.parallel import make_mesh
+
+    cfg = Config(
+        data=DataConfig(resolution=(16, 64)),
+        model=ModelConfig(
+            base_channels=8,
+            channel_multiplier=(1, 2, 2, 2),
+            num_residual_blocks=(1, 1, 1, 1),
+            gn_num_groups=4,
+            attn_num_heads=2,
+        ),
+    )
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 64, 2)), jnp.zeros((1,))
+    )
+    variables = {**variables, "buffers": {"coords": jnp.asarray(model_coords(cfg))}}
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    mesh = make_mesh((8,))
+    kw = dict(
+        batch_size=8, num_steps=5, seeds=list(range(8)), mode="dpmpp_2m",
+        data_format="NHWC",
+    )
+    x_mesh_chunked = ddpm.sample(mesh=mesh, progress=True, progress_chunk=2, **kw)
+    x_single = ddpm.sample(**kw)
+    np.testing.assert_allclose(
+        np.asarray(x_mesh_chunked), np.asarray(x_single), atol=1e-5
+    )

@@ -59,13 +59,25 @@ def batch_sharding(mesh: Mesh, data_format: str = "NHWC") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, data_format: str = "NHWC"):
-    """Place a host batch onto the mesh (⇔ accelerate split_batches)."""
+    """Place a host batch onto the mesh (⇔ accelerate split_batches).
+
+    Single-process: a plain sharded ``device_put``. Multi-process (pod
+    slices / the 2-process CPU test): each host holds only its LOCAL slice
+    of the global batch (DataLoader contract, data/loader.py:63-66), so the
+    global array must be assembled from per-process shards with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` would
+    misread the local slice as the (too small) global batch.
+    """
     sharding = batch_sharding(mesh, data_format)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim == 4
-        else jax.device_put(x, replicated(mesh)),
-        batch,
-    )
+    multiproc = jax.process_count() > 1
+
+    def place(x):
+        sh = sharding if hasattr(x, "ndim") and x.ndim == 4 else replicated(mesh)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(place, batch)
 
 
 def with_width_sharding(mesh: Mesh, x, data_format: str = "NHWC"):

@@ -68,7 +68,16 @@ def train(cfg: config_lib.Config) -> None:
     # cross-host collectives work (⇔ `accelerate launch`, reference
     # README.md:64). No-op for single-host runs.
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        # num_processes/process_id come from the cluster auto-detection on
+        # TPU pods / SLURM; JAX has no generic env-var detector, so accept
+        # explicit JAX_NUM_PROCESSES / JAX_PROCESS_ID for manual launches
+        # (and the 2-process CPU test, tests/test_multihost.py)
+        _nproc = os.environ.get("JAX_NUM_PROCESSES")
+        _pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(_nproc) if _nproc else None,
+            process_id=int(_pid) if _pid else None,
+        )
     out_dir = tcfg.output_dir
     is_main = jax.process_index() == 0
     if is_main:

@@ -331,3 +331,21 @@ def test_dpmpp_segment_chaining_bit_identical(tiny_net_and_vars):
         )
         done += n
     np.testing.assert_array_equal(np.asarray(mono), np.asarray(x))
+
+
+def test_dpmpp_first_order_equals_ddim(tiny_net_and_vars):
+    """With <= 2 steps every dpmpp update is first-order, and first-order
+    DPM-Solver++ in the x0 parameterization is algebraically DDIM eta=0 —
+    so the two samplers must agree through the real net. Tolerance: the
+    formulas associate differently in fp32 (expm1(-h) vs sqrt(1-alpha^2)
+    lowerings), and at 2 steps the net re-amplifies the step-1 rounding
+    delta by its Lipschitz factor — observed max ~2e-4."""
+    net, variables = tiny_net_and_vars
+    diff = ContinuousTimeGaussianDiffusion(
+        model=net, prediction_type="eps", noise_schedule="cosine"
+    )
+    for n in (1, 2):
+        key = jax.random.key(21)
+        a = diff.sample(variables, key, batch_size=2, num_steps=n, mode="ddim")
+        b = diff.sample_dpmpp(variables, key, batch_size=2, num_steps=n)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

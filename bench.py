@@ -79,6 +79,13 @@ DDIM_STEPS = 32
 
 
 def main(mesh_devices: int = 0, batch_per_dev: int = BATCH, steps: int = STEPS):
+    if os.environ.get("R2DM_TPU_INT8"):
+        # experiment hook (not driver protocol): W8A8 ring convs
+        # (ops/quant.py) for the int8-lane A/B; MFU is still reported
+        # against the bf16 peak so numbers stay comparable
+        from r2dm_tpu.models import layers
+
+        layers.QUANT_CONV = "w8a8"
     budget_s = float(os.environ.get("R2DM_BENCH_BUDGET_S", "460"))
     t_start = time.time()
     # persistent compile cache: warm re-runs skip the XLA compile

@@ -47,10 +47,16 @@ def render_panels(x, lidar_utils):
 
 
 def main(args):
+    # optional serving knobs default off so programmatic callers (tests)
+    # can pass a bare Namespace with just the required fields
+    if getattr(args, "int8", False):
+        from r2dm_tpu.models import layers
+
+        layers.QUANT_CONV = "w8a8"
     ddpm, lidar_utils, cfg = setup_model(
         args.ckpt,
-        dtype=jnp.bfloat16 if args.bf16 else None,
-        width_merge_l1=args.latency_layout,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+        width_merge_l1=getattr(args, "latency_layout", False),
     )
     # NHWC internally; per-sample seeds for reproducibility
     xs = ddpm.sample(
@@ -135,6 +141,11 @@ if __name__ == "__main__":
     parser.add_argument(
         "--bf16", action="store_true",
         help="bf16 network compute (TPU fast path; schedule math stays fp32)",
+    )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="W8A8 int8 ring convs on the MXU 2x-peak int8 path "
+        "(serving-only experiment; ops/quant.py)",
     )
     parser.add_argument(
         "--latency_layout", action="store_true",

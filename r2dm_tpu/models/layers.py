@@ -30,6 +30,12 @@ Dtype = Any
 #   "pad":    materialize the wrapped input (reference-style concat)
 RING_CONV_IMPL = "padadd"
 
+# Serving-only numeric lane: None (bf16/fp32 compute, default) or "w8a8" —
+# 3x3 ring convs run s8 x s8 -> s32 on the MXU's 2x-peak int8 path with
+# dynamic per-tensor activation scales (ops/quant.py). Inference-only
+# (round() kills gradients); enable via generate.py --int8 / R2DM_TPU_INT8.
+QUANT_CONV: Optional[str] = None
+
 
 class _RingConv3x3(nn.Module):
     """3x3/stride-1 conv with circular W wrap, WITHOUT materializing a
@@ -106,6 +112,14 @@ class _RingConv3x3(nn.Module):
             y = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
             y = y * jax.nn.sigmoid(y)
             x = y.astype(x.dtype if self.dtype is None else self.dtype)
+        if QUANT_CONV == "w8a8" and nhwc:
+            # int8 serving lane (ops/quant.py): quantizes from the fp32
+            # master kernel; output dtype matches the bf16/fp32 policy
+            from ..ops import quant
+
+            return quant.ring_conv_w8a8(
+                x, kernel, bias, out_dtype=self.dtype or x.dtype
+            )
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)

@@ -15,6 +15,7 @@ the reference's .pth layout).
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 import jax
@@ -25,8 +26,14 @@ from r2dm_tpu.inference import setup_model
 
 
 def main(args):
+    if os.environ.get("R2DM_TPU_INT8"):
+        # quality-harness hook for the W8A8 serving lane (ops/quant.py):
+        # lets tools/ddim_quality_check.sh A/B int8 vs bf16 on same seeds
+        from r2dm_tpu.models import layers
+
+        layers.QUANT_CONV = "w8a8"
     ddpm, lidar_utils, cfg = setup_model(
-        args.ckpt, dtype=jnp.bfloat16 if args.bf16 else None
+        args.ckpt, dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None
     )
     lidar_utils.data_format = "NHWC"
     save_dir = Path(args.output_dir)

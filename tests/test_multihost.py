@@ -45,7 +45,11 @@ def _child_env(n_local_devices: int, extra: dict) -> dict:
         env.pop(var, None)  # never dial the real chip from children
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={n_local_devices}"
+        f"--xla_force_host_platform_device_count={n_local_devices} "
+        # the Gloo context init defaults to a ~30 s rendezvous window; on
+        # this 1-CPU box the two children can reach their first collective
+        # with minutes of compile skew (cold cache), so widen it
+        "--xla_cpu_collective_timeout_seconds=600"
     )
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.update(extra)

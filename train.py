@@ -78,6 +78,15 @@ def train(cfg: config_lib.Config) -> None:
             num_processes=int(_nproc) if _nproc else None,
             process_id=int(_pid) if _pid else None,
         )
+        # Establish the cross-process collective context NOW, while the
+        # processes are still aligned (seconds apart): the first
+        # collective's context init has a bounded rendezvous window, and
+        # reaching it first through a multi-minute model compile lets
+        # per-host compile skew blow past it (Gloo DEADLINE_EXCEEDED on
+        # slow hosts; harmless barrier on real pods).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("r2dm_tpu startup")
     out_dir = tcfg.output_dir
     is_main = jax.process_index() == 0
     if is_main:

@@ -77,3 +77,30 @@ def test_generate_cli(tiny_ckpt, tmp_path, monkeypatch, video):
         "samples_img.png"
     ))
     assert img.size > 0
+
+
+@pytest.mark.slow
+def test_generate_cli_int8_lane(tiny_ckpt, tmp_path, monkeypatch):
+    """--int8 serving lane: the W8A8 ring-conv flag flows through the CLI
+    and produces finite previews (quant exactness is in test_quant.py)."""
+    monkeypatch.chdir(tmp_path)
+    from generate import main
+    from r2dm_tpu.models import layers
+
+    try:
+        main(
+            argparse.Namespace(
+                ckpt=tiny_ckpt,
+                mode="ddim",
+                batch_size=2,
+                sampling_steps=2,
+                seed=0,
+                video=False,
+                int8=True,
+            )
+        )
+        assert layers.QUANT_CONV == "w8a8"  # the flag actually engaged
+    finally:
+        layers.QUANT_CONV = None
+    assert Path("samples_img.png").exists()
+    assert Path("samples_bev.png").exists()

@@ -67,3 +67,78 @@ def _tree_leaves(tree):
             yield from _tree_leaves(v)
     else:
         yield tree
+
+
+@pytest.mark.slow
+def test_train_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run (TPU preemption) checkpoints and exits 0; the
+    checkpoint resumes. The reference has no recovery story (SURVEY.md §5)."""
+    import os
+    import signal
+    import subprocess
+    import time
+
+    from r2dm_tpu.checkpoint import load_checkpoint
+
+    out = tmp_path / "run"
+    env = dict(os.environ)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(var, None)  # never dial the real chip from the child
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/r2dm_tpu_test_jax_cache"
+    )
+    proc = subprocess.Popen(
+        [sys.executable] + _argv(out, ["--training.num_steps", "100000"]),
+        cwd="/root/repo",
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # wait until at least one step has logged (step 1 logs immediately)
+        deadline = time.time() + 600
+        metrics = out / "metrics.jsonl"
+        while time.time() < deadline:
+            if metrics.exists() and metrics.stat().st_size > 0:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(f"train exited early:\n{proc.stdout.read()}")
+            time.sleep(1)
+        else:
+            raise AssertionError("no training step within 600s")
+        proc.send_signal(signal.SIGTERM)
+        stdout, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stdout
+    assert "preempted at step" in stdout, stdout
+
+    ckpt_path = out / "checkpoint.msgpack"
+    ckpt = load_checkpoint(str(ckpt_path))
+    stopped_at = ckpt["global_step"]
+    assert 1 <= stopped_at < 100000
+
+    # the preemption checkpoint resumes (in-process: fast, shares the cache)
+    import importlib
+
+    from r2dm_tpu.config import parse_cli
+
+    train_mod = importlib.import_module("train")
+    old_argv = sys.argv
+    sys.argv = _argv(
+        out,
+        [
+            "--training.num_steps", str(stopped_at + 2),
+            "--training.resume", str(ckpt_path),
+        ],
+    )
+    try:
+        train_mod.train(parse_cli())
+    finally:
+        sys.argv = old_argv
+    assert load_checkpoint(str(ckpt_path))["global_step"] == stopped_at + 2

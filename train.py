@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 
 import jax
@@ -199,11 +200,35 @@ def train(cfg: config_lib.Config) -> None:
     logger = MetricLogger(out_dir, enabled=is_main)
     root_key = jax.random.key(tcfg.seed)
 
+    # ----------------------------------------------------- preemption guard
+    # TPU pods surface maintenance/preemption as SIGTERM to every worker;
+    # finish the in-flight step, write the (resumable) checkpoint below, and
+    # exit 0 so the scheduler restarts with --training.resume. The reference
+    # has no recovery story at all (SURVEY.md §5). Installed per-run so
+    # programmatic callers (tests) get their handlers back afterwards.
+    preempted = {"signal": None}
+
+    def _on_preempt(signum, frame):
+        preempted["signal"] = signum
+        if is_main:
+            print(
+                f"received signal {signum}: checkpointing at the next step "
+                "boundary and exiting",
+                flush=True,
+            )
+
+    prev_handlers = {}
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[_sig] = signal.signal(_sig, _on_preempt)
+        except ValueError:  # not in the main thread — skip the guard
+            pass
+
     # ------------------------------------------------------------ hot loop
     t0 = time.time()
     global_step = start_step
     data_iter = iter(loader)
-    while global_step < tcfg.num_steps:
+    while global_step < tcfg.num_steps and preempted["signal"] is None:
         raw = next(data_iter)
         batch = shard_batch(
             mesh, {k: jnp.asarray(v) for k, v in raw.items() if k != "sample_id"}
@@ -254,7 +279,18 @@ def train(cfg: config_lib.Config) -> None:
             opt_state=jax.tree.map(np.asarray, state.opt_state),
             step=global_step,
         )
-        print(f"done: {global_step} steps in {time.time()-t0:.0f}s -> {out_dir}")
+        if preempted["signal"] is not None:
+            print(
+                f"preempted at step {global_step} (signal "
+                f"{preempted['signal']}); resume with --training.resume "
+                f"{os.path.join(out_dir, 'checkpoint.msgpack')}"
+            )
+        else:
+            print(
+                f"done: {global_step} steps in {time.time()-t0:.0f}s -> {out_dir}"
+            )
+    for _sig, _h in prev_handlers.items():
+        signal.signal(_sig, _h)
 
 
 if __name__ == "__main__":

@@ -278,6 +278,93 @@ def refinenet_variables_from_reference(sd: Mapping[str, np.ndarray]) -> dict:
     return jax.tree.map(jnp.asarray, variables)
 
 
+def export_unet_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse of :func:`convert_unet_state_dict`: our flax EfficientUNet
+    ``variables`` ({'params':…, 'buffers':…}) -> reference torch
+    ``state_dict`` keys (``model.``-prefixed, reference train.py:294-304
+    layout), so models trained HERE run in the reference repo.
+
+    Emits only translated parameters + the ``coords`` buffer. Constants the
+    reference re-registers at construction (FIR resample kernels, residual
+    ``scale``, coord-encoding tables, ``_dummy``, discrete beta tables) are
+    intentionally absent — load with ``strict=False``; the freshly
+    constructed values are identical by design (they are what our import
+    path drops for the same reason).
+    """
+    sd: dict[str, np.ndarray] = {}
+
+    def put(key: str, v, transform=None) -> None:
+        v = np.asarray(v, dtype=np.float32)
+        sd["model." + key] = transform(v) if transform else v
+
+    def inv_conv(v: np.ndarray) -> np.ndarray:
+        return np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+
+    def inv_lin(v: np.ndarray) -> np.ndarray:
+        return np.transpose(v, (1, 0))  # (I,O) -> (O,I)
+
+    def walk(path: tuple[str, ...], node) -> None:
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(path + (k,), v)
+            return
+        p, v = path, node
+        wb = {"kernel": "weight", "bias": "bias", "scale": "weight"}.get(p[-1])
+        if p[0] == "time_embedding" and len(p) == 3:
+            idx = {"dense1": "1", "dense2": "3"}[p[1]]
+            put(f"time_embedding.{idx}.{wb}",
+                v, inv_lin if p[-1] == "kernel" else None)
+        elif p[0] in ("in_conv", "out_conv") and p[1] == "conv":
+            put(f"{p[0]}.{wb}", v, inv_conv if p[-1] == "kernel" else None)
+        elif len(p) >= 2 and re.fullmatch(r"[du]_block\d", p[0]):
+            block = p[0]
+            if p[1] == "down_conv":
+                put(f"{block}.downsample.0.{wb}",
+                    v, inv_conv if p[-1] == "kernel" else None)
+            elif p[1] == "up_conv":
+                put(f"{block}.upsample.1.{wb}",
+                    v, inv_conv if p[-1] == "kernel" else None)
+            elif re.fullmatch(r"res\d+", p[1]):
+                i = p[1][3:]
+                base = f"{block}.residual_blocks.{i}"
+                if p[2] in ("conv1", "conv2", "skip"):
+                    put(f"{base}.{p[2]}.{wb}",
+                        v, inv_conv if p[-1] == "kernel" else None)
+                elif p[2] == "norm1":
+                    put(f"{base}.norm1.{wb}", v)
+                elif p[2] == "norm2" and p[3] == "proj":
+                    put(f"{base}.norm2.proj.1.{wb}",
+                        v, inv_lin if p[-1] == "kernel" else None)
+                elif p[2] == "norm2":
+                    put(f"{base}.norm2.{wb}", v)
+                else:
+                    raise KeyError(f"unhandled flax path: {'/'.join(p)}")
+            elif p[1] == "attn" and p[2] == "norm":
+                put(f"{block}.self_attn_block.norm.{wb}", v)
+            elif p[1] == "attn" and p[2] == "attn":
+                attn = f"{block}.self_attn_block.attn"
+                if p[3] == "qkv_kernel":
+                    put(f"{attn}.in_proj_weight", v, inv_lin)
+                elif p[3] == "qkv_bias":
+                    put(f"{attn}.in_proj_bias", v)
+                elif p[3] == "out_proj":
+                    put(f"{attn}.out_proj.{wb}",
+                        v, inv_lin if p[-1] == "kernel" else None)
+                else:
+                    raise KeyError(f"unhandled flax path: {'/'.join(p)}")
+            else:
+                raise KeyError(f"unhandled flax path: {'/'.join(p)}")
+        else:
+            raise KeyError(f"unhandled flax path: {'/'.join(p)}")
+
+    walk((), variables.get("params", variables))
+    coords = variables.get("buffers", {}).get("coords")
+    if coords is not None:
+        c = np.asarray(coords, dtype=np.float32)
+        sd["model.coords"] = np.transpose(c, (2, 0, 1))[None]  # (H,W,2)->(1,2,H,W)
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> dict[str, Any]:
     """Read a reference .pth checkpoint into plain numpy/python objects.
 

@@ -365,6 +365,110 @@ def export_unet_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray
     return sd
 
 
+def export_refinenet_state_dict(
+    variables: Mapping[str, Any],
+) -> dict[str, np.ndarray]:
+    """Inverse of :func:`convert_refinenet_state_dict` for the (fixed)
+    LiDARGenRefineNet architecture (reference models/refinenet.py:157-212).
+
+    Same contract as :func:`export_unet_state_dict`: emits the translated
+    parameters + ``coords``; construction-time constants stay absent (load
+    reference-side with ``strict=False``).
+    """
+    sd: dict[str, np.ndarray] = {}
+    # Blocks whose conv2/skip are wrapped in Sequential(conv, AvgPool2d) on
+    # the reference side (key suffix ".0"): pool fires iff dilation == 1 and
+    # resample == "down" (refinenet.py:76-80 / ours RNResidualBlock) — in the
+    # fixed LiDARGen net that is exactly d_block2's first sub-block
+    # (d_block3/4 downsample via dilation instead).
+    POOLED = {("d_block2", "0")}
+
+    def put(key: str, v, transform=None) -> None:
+        v = np.asarray(v, dtype=np.float32)
+        sd["model." + key] = transform(v) if transform else v
+
+    def inv_conv(v: np.ndarray) -> np.ndarray:
+        return np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+
+    def put_inorm(prefix: str, leaf: str, v) -> None:
+        v = np.asarray(v, dtype=np.float32)
+        C = v.shape[0]
+        if leaf == "alpha":
+            put(f"{prefix}.alpha", v.reshape(1, C, 1, 1))
+        elif leaf == "scale":  # depthwise 1x1 post_affine conv
+            put(f"{prefix}.post_affine.weight", v.reshape(C, 1, 1, 1))
+        else:
+            put(f"{prefix}.post_affine.bias", v)
+
+    def put_rcu(prefix: str, name: str, v) -> None:
+        m = re.fullmatch(r"unit(\d+)_stage(\d+)", name)
+        j, k = int(m.group(1)), int(m.group(2))
+        put(f"{prefix}.units.{j}.{2 * k + 1}.weight", v, inv_conv)
+
+    params = variables.get("params", variables)
+    for top, node in params.items():
+        if top == "in_conv":
+            for leaf, v in node.items():
+                put(f"in_conv.{'weight' if leaf == 'kernel' else 'bias'}",
+                    v, inv_conv if leaf == "kernel" else None)
+        elif top == "out_norm":
+            for leaf, v in node.items():
+                put_inorm("out_conv.0", leaf, v)
+        elif top == "out_conv":
+            for leaf, v in node.items():
+                put(f"out_conv.2.{'weight' if leaf == 'kernel' else 'bias'}",
+                    v, inv_conv if leaf == "kernel" else None)
+        elif re.fullmatch(r"d_block\d_\d", top):
+            block, j = top.rsplit("_", 1)
+            for sub, child in node.items():
+                if sub in ("norm1", "norm2"):
+                    for leaf, v in child.items():
+                        put_inorm(f"{block}.{j}.{sub}", leaf, v)
+                elif sub in ("conv1", "conv2", "skip"):
+                    seq = ".0" if sub != "conv1" and (block, j) in POOLED else ""
+                    for leaf, v in child["conv"].items():
+                        wb = "weight" if leaf == "kernel" else "bias"
+                        put(f"{block}.{j}.{sub}{seq}.{wb}",
+                            v, inv_conv if leaf == "kernel" else None)
+                else:
+                    raise KeyError(f"unhandled flax path: {top}/{sub}")
+        elif re.fullmatch(r"u_block\d", top):
+            for sub, child in node.items():
+                m = re.fullmatch(r"adapt(\d+)_rcu", sub)
+                if m:
+                    for name, unit in child.items():
+                        put_rcu(f"{top}.adaptive_convs.{m.group(1)}.0",
+                                name, unit["conv"]["kernel"])
+                    continue
+                m = re.fullmatch(r"adapt(\d+)_proj", sub)
+                if m:
+                    for leaf, v in child["conv"].items():
+                        wb = "weight" if leaf == "kernel" else "bias"
+                        put(f"{top}.adaptive_convs.{m.group(1)}.1.{wb}",
+                            v, inv_conv if leaf == "kernel" else None)
+                    continue
+                if sub == "crp":
+                    for name, unit in child.items():
+                        i = re.fullmatch(r"conv(\d+)", name).group(1)
+                        put(f"{top}.crp.convs.{i}.1.weight",
+                            unit["conv"]["kernel"], inv_conv)
+                    continue
+                if sub == "output_rcu":
+                    for name, unit in child.items():
+                        put_rcu(f"{top}.output_conv", name,
+                                unit["conv"]["kernel"])
+                    continue
+                raise KeyError(f"unhandled flax path: {top}/{sub}")
+        else:
+            raise KeyError(f"unhandled flax path: {top}")
+
+    coords = variables.get("buffers", {}).get("coords")
+    if coords is not None:
+        c = np.asarray(coords, dtype=np.float32)
+        sd["model.coords"] = np.transpose(c, (2, 0, 1))[None]
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> dict[str, Any]:
     """Read a reference .pth checkpoint into plain numpy/python objects.
 

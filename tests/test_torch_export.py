@@ -21,7 +21,9 @@ import pytest
 from r2dm_tpu.utils.torch_import import (
     _DROP,
     convert_unet_state_dict,
+    export_refinenet_state_dict,
     export_unet_state_dict,
+    refinenet_variables_from_reference,
     variables_from_reference,
 )
 
@@ -67,6 +69,50 @@ def test_export_then_import_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(variables["buffers"]["coords"]), buffers2["coords"]
     )
+
+
+def test_refinenet_export_inverts_import_exactly():
+    _, sd = load_case("tiny_refinenet")
+    variables = refinenet_variables_from_reference(sd)
+    out = export_refinenet_state_dict(variables)
+
+    translated = {k: v for k, v in sd.items() if not _DROP.search(k)}
+    assert set(out) == {f"model.{k}" for k in translated}
+    for k, v in translated.items():
+        np.testing.assert_array_equal(
+            out[f"model.{k}"], np.asarray(v, np.float32), err_msg=k
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not Path("/root/reference").exists(), reason="reference not mounted"
+)
+def test_live_reference_accepts_refinenet_export():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from models.refinenet import LiDARGenRefineNet as RefNet
+
+    g, sd = load_case("tiny_refinenet")
+    variables = refinenet_variables_from_reference(sd)
+    out = export_refinenet_state_dict(variables)
+
+    net = RefNet(
+        in_channels=2, resolution=(16, 64), base_channels=8,
+        channel_multiplier=(1, 2, 2, 2),
+    )
+    sd_t = {
+        k[len("model."):]: torch.from_numpy(np.array(v, copy=True))
+        for k, v in out.items()
+    }
+    missing, unexpected = net.load_state_dict(sd_t, strict=False)
+    assert unexpected == [], unexpected
+    assert all(_DROP.search(k) for k in missing), missing
+
+    net.eval()
+    with torch.no_grad():
+        y = net(torch.from_numpy(g["x"]), None)
+    np.testing.assert_allclose(y.numpy(), g["y"], rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.slow

@@ -42,16 +42,24 @@ def main(argv=None):
     import torch
 
     from r2dm_tpu.checkpoint import load_checkpoint
-    from r2dm_tpu.utils.torch_import import export_unet_state_dict
+    from r2dm_tpu.utils.torch_import import (
+        export_refinenet_state_dict,
+        export_unet_state_dict,
+    )
 
     ckpt = load_checkpoint(args.ckpt)
     weights = ckpt["weights"] if args.raw or not ckpt.get("ema_weights") else (
         ckpt["ema_weights"]
     )
+    arch = ckpt["cfg"].get("model", {}).get("architecture", "efficient_unet")
+    export = (
+        export_refinenet_state_dict if arch == "refinenet"
+        else export_unet_state_dict
+    )
     sd = {
         # copy: msgpack-loaded arrays are read-only views, torch wants writable
         k: torch.from_numpy(np.array(v, copy=True))
-        for k, v in export_unet_state_dict(weights).items()
+        for k, v in export(weights).items()
     }
     out = {
         "cfg": ckpt["cfg"],

@@ -53,7 +53,7 @@ def load_sample(path: Path) -> np.ndarray:
     return torch.load(path, map_location="cpu", weights_only=False).numpy()
 
 
-def build_extractors(args, resolution):
+def build_extractors(args, resolution, mesh=None):
     H, W = resolution
     if args.rangenet_tar:
         model_img, vars_img, pre = rn.rangenet53(args.rangenet_tar)
@@ -78,7 +78,6 @@ def build_extractors(args, resolution):
     else:
         raise SystemExit("need --pointnet_ckpt or --allow_random_extractors")
 
-    @jax.jit
     def extract(imgs_frd, mask):
         """imgs_frd (B, H, W, 5), mask (B, H, W, 1) ->
         (img_feats, pts_feats, bev_hists)."""
@@ -92,17 +91,49 @@ def build_extractors(args, resolution):
         hists = jax.vmap(bev.point_cloud_to_histogram)(clouds)
         return feats_img, feats_pts, hists
 
-    return extract
+    if mesh is not None:
+        # data-parallel extraction: batch sharded over the mesh's 'data'
+        # axis (extractor weights replicate; per-sample features are
+        # embarrassingly parallel, so XLA inserts no cross-chip collectives
+        # in the hot path) — the serving-side eval counterpart of the
+        # trainer's DP. Callers pad chunks to a fixed batch size.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s_in = NamedSharding(mesh, P("data", None, None, None))
+        return jax.jit(
+            extract,
+            in_shardings=(s_in, s_in),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+    return jax.jit(extract)
 
 
 def gated(depth):
     return ((depth > MIN_DEPTH) & (depth < MAX_DEPTH)).astype(np.float32)
 
 
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad the batch dim to ``n`` by repeating the last row — keeps every
+    dispatch at one fixed shape (one XLA program; mesh-divisible)."""
+    if len(a) == n:
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], n - len(a), axis=0)], axis=0)
+
+
 def main(args):
+    mesh = None
+    n_mesh = getattr(args, "mesh", 0)
+    if n_mesh:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()[:n_mesh]
+        assert len(devs) == n_mesh, f"need {n_mesh} devices, have {len(devs)}"
+        if args.batch_size % n_mesh:
+            raise SystemExit(f"--batch_size must be divisible by --mesh {n_mesh}")
+        mesh = Mesh(np.asarray(devs), ("data",))
     _, lidar_utils, cfg = setup_model(args.ckpt)
     H, W = lidar_utils.resolution
-    extract = build_extractors(args, (H, W))
+    extract = build_extractors(args, (H, W), mesh=mesh)
 
     results = {"img": {}, "pts": {}, "bev": {}, "info": {}}
     results["info"]["phase"] = args.dataset
@@ -148,11 +179,15 @@ def main(args):
             imgs_frd = np.concatenate(
                 [depth, planes[..., 0:3], planes[..., 3:4]], axis=-1
             )
-            fi, fp, hists = extract(jnp.asarray(imgs_frd), jnp.asarray(mask))
-            real["img_feats"].append(np.asarray(fi))
-            real["pts_feats"].append(np.asarray(fp))
-            real["bev_hists"].append(np.asarray(hists))
-            print(f"real [{lo + len(planes)}/{len(dataset)}]", flush=True)
+            n = len(imgs_frd)
+            fi, fp, hists = extract(
+                jnp.asarray(_pad_rows(imgs_frd, args.batch_size)),
+                jnp.asarray(_pad_rows(mask, args.batch_size)),
+            )
+            real["img_feats"].append(np.asarray(fi)[:n])
+            real["pts_feats"].append(np.asarray(fp)[:n])
+            real["bev_hists"].append(np.asarray(hists)[:n])
+            print(f"real [{lo + n}/{len(dataset)}]", flush=True)
         real = {k: np.concatenate(v, axis=0) for k, v in real.items()}
         pickle.dump(real, open(cache, "wb"))
     results["info"]["#real"] = len(real["pts_feats"])
@@ -168,11 +203,15 @@ def main(args):
         imgs = np.transpose(imgs, (0, 2, 3, 1))  # (B, H, W, 5)
         mask = gated(imgs[..., 0:1])
         imgs = imgs * mask
-        fi, fp, hists = extract(jnp.asarray(imgs), jnp.asarray(mask))
-        gen["img_feats"].append(np.asarray(fi))
-        gen["pts_feats"].append(np.asarray(fp))
-        gen["bev_hists"].append(np.asarray(hists))
-        print(f"gen [{lo + len(imgs)}/{len(paths)}]", flush=True)
+        n = len(imgs)
+        fi, fp, hists = extract(
+            jnp.asarray(_pad_rows(imgs, args.batch_size)),
+            jnp.asarray(_pad_rows(mask, args.batch_size)),
+        )
+        gen["img_feats"].append(np.asarray(fi)[:n])
+        gen["pts_feats"].append(np.asarray(fp)[:n])
+        gen["bev_hists"].append(np.asarray(hists)[:n])
+        print(f"gen [{lo + n}/{len(paths)}]", flush=True)
     gen = {k: np.concatenate(v, axis=0) for k, v in gen.items()}
     results["info"]["#fake"] = len(gen["pts_feats"])
 
@@ -219,4 +258,9 @@ if __name__ == "__main__":
     parser.add_argument("--rangenet_tar", type=str, default=None)
     parser.add_argument("--pointnet_ckpt", type=str, default=None)
     parser.add_argument("--allow_random_extractors", action="store_true")
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard feature extraction over an N-device 'data' mesh "
+        "(batch_size must be divisible by N)",
+    )
     main(parser.parse_args())

@@ -32,6 +32,17 @@ def main(args):
         from r2dm_tpu.models import layers
 
         layers.QUANT_CONV = "w8a8"
+    mesh = None
+    n_mesh = getattr(args, "mesh", 0)
+    if n_mesh:
+        # single-process multi-chip: the batch shards over a 'data' mesh
+        # inside DDPM.sample (aggregate img/s scales with chips); combine
+        # with process striding below for multi-host pods
+        from jax.sharding import Mesh
+
+        devs = jax.devices()[:n_mesh]
+        assert len(devs) == n_mesh, f"need {n_mesh} devices, have {len(devs)}"
+        mesh = Mesh(np.asarray(devs), ("data",))
     ddpm, lidar_utils, cfg = setup_model(
         args.ckpt, dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None
     )
@@ -55,16 +66,26 @@ def main(args):
     seeds = seeds[jax.process_index():: jax.process_count()]
     for lo in range(0, len(seeds), args.batch_size):
         batch_seeds = seeds[lo : lo + args.batch_size]
+        n = len(batch_seeds)
+        run_seeds = batch_seeds
+        if mesh is not None and n % n_mesh:
+            # mesh-divisible tail batch: samples are per-seed deterministic,
+            # so pad with throwaway seeds and discard their outputs
+            pad = n_mesh - n % n_mesh
+            run_seeds = np.concatenate(
+                [batch_seeds, batch_seeds[-1] + 1 + np.arange(pad)]
+            )
         # DDPM.sample applies the AUTO_CHUNK_WORK segment guard (per-seed
         # keys = key_batch_from_seeds, same stream as before)
         x = ddpm.sample(
-            batch_size=len(batch_seeds),
+            batch_size=len(run_seeds),
             num_steps=args.num_steps,
-            seeds=batch_seeds.tolist(),
+            seeds=run_seeds.tolist(),
             mode=args.mode,
             data_format="NHWC",
+            mesh=mesh,
         )
-        samples = np.asarray(postprocess(x))
+        samples = np.asarray(postprocess(x))[:n]
         for seed, sample in zip(batch_seeds, samples):
             np.savez_compressed(
                 save_dir / f"samples_{seed:010d}.npz", sample=sample
@@ -83,5 +104,10 @@ if __name__ == "__main__":
     parser.add_argument(
         "--bf16", action="store_true",
         help="bf16 network compute (TPU fast path; schedule math stays fp32)",
+    )
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard each sampling batch over an N-device 'data' mesh "
+        "(single-process multi-chip; combine with process striding for pods)",
     )
     main(parser.parse_args())

@@ -65,6 +65,23 @@ def test_sample_and_evaluate_chain(tmp_path, monkeypatch):
     sample = np.load(files[0])["sample"]
     assert sample.shape == (5, 16, 128)
 
+    # mesh-sharded mass sampling reproduces the per-seed samples (the tail
+    # batch of 2 is padded to the 4-device mesh with throwaway seeds)
+    out_dir_mesh = str(tmp_path / "samples_mesh")
+    sas.main(
+        argparse.Namespace(
+            ckpt=ckpt, output_dir=out_dir_mesh, batch_size=4, num_samples=6,
+            num_steps=2, mode="ddpm", mesh=4,
+        )
+    )
+    mesh_files = sorted(glob(out_dir_mesh + "/*.npz"))
+    assert [Path(p).name for p in mesh_files] == [Path(p).name for p in files]
+    for a, b in zip(files, mesh_files):
+        np.testing.assert_allclose(
+            np.load(b)["sample"], np.load(a)["sample"], rtol=1e-5, atol=1e-5,
+            err_msg=Path(a).name,
+        )
+
     ev = load_script("evaluate")
     ev.main(
         argparse.Namespace(
@@ -80,3 +97,29 @@ def test_sample_and_evaluate_chain(tmp_path, monkeypatch):
         for k, val in results[section].items():
             assert np.isfinite(val), (section, k)
     assert results["info"]["#fake"] == 6
+
+    # mesh-sharded extraction must reproduce the single-device metrics
+    # (real-set features come from the cache written above; gen features
+    # are recomputed sharded over a 2-device 'data' mesh)
+    ev.main(
+        argparse.Namespace(
+            ckpt=ckpt, sample_dir=out_dir, dataset="all", data_root=None,
+            batch_size=8, rangenet_tar=None, pointnet_ckpt=None,
+            allow_random_extractors=True, mesh=2,
+        )
+    )
+    newest = max(glob(out_dir + "_*.json"), key=lambda p: Path(p).stat().st_mtime)
+    results_mesh = json.load(open(newest))
+    # rtol: sharded convs accumulate in a different order (fp32), this CPU's
+    # XLA AOT cache mixes instruction selections across runs (observed), and
+    # the squared-MMD's near-cancelling polynomial terms amplify that ~1e-6
+    # feature noise ~1000x on random-extractor features. The TIGHT
+    # sharded-vs-single evidence is the per-seed sample parity above; this
+    # leg asserts the mesh eval path computes the same metrics to fp32
+    # engineering tolerance.
+    for section in ("img", "pts", "bev"):
+        for k, val in results[section].items():
+            np.testing.assert_allclose(
+                results_mesh[section][k], val, rtol=2e-2, atol=1e-5,
+                err_msg=f"{section}.{k}",
+            )

@@ -278,8 +278,13 @@ class DDPM:
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                # a 2-axis (data, width) mesh additionally shards the
+                # azimuth dim: GSPMD turns the ring convs' wrap columns and
+                # FIR margins into ICI halo permutes (parallel/mesh.py) —
+                # the multi-chip LATENCY lane (batch can be as small as 1)
+                w = "width" if "width" in mesh.axis_names else None
                 batch_axes = (None, "data") if return_all else ("data",)
-                out = NamedSharding(mesh, P(*batch_axes, None, None, None))
+                out = NamedSharding(mesh, P(*batch_axes, None, w, None))
                 return jax.jit(
                     fn,
                     in_shardings=(NamedSharding(mesh, P()), None),
@@ -332,13 +337,17 @@ class DDPM:
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                w = "width" if "width" in mesh.axis_names else None
                 rep = NamedSharding(mesh, P())
-                sharded = NamedSharding(mesh, P("data", None, None, None))
-                stack = NamedSharding(mesh, P(None, "data"))
+                sharded = NamedSharding(mesh, P("data", None, w, None))
+                stack = NamedSharding(mesh, P(None, "data", None, w, None))
                 if dpmpp:
                     # (variables, x, prev_x0, prev_lam, key, ts_seg, 2nd-order)
-                    in_sh = (rep, sharded, sharded, sharded, rep, rep, rep)
-                    out_sh = (sharded, sharded, sharded, rep)
+                    # prev_lam is (B,1,1,1): batch-sharded only (its W dim
+                    # is size 1 and cannot split over a width axis)
+                    lam_sh = NamedSharding(mesh, P("data", None, None, None))
+                    in_sh = (rep, sharded, sharded, lam_sh, rep, rep, rep)
+                    out_sh = (sharded, sharded, lam_sh, rep)
                 else:
                     in_sh = (rep, sharded, rep, rep)
                     out_sh = (sharded, rep)

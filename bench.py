@@ -78,7 +78,7 @@ MAX_TRIALS = 4
 DDIM_STEPS = 32
 
 
-def main(mesh_devices: int = 0, batch_per_dev: int = BATCH, steps: int = STEPS):
+def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     if os.environ.get("R2DM_TPU_INT8"):
         # experiment hook (not driver protocol): W8A8 ring convs
         # (ops/quant.py) for the int8-lane A/B; MFU is still reported
@@ -118,13 +118,19 @@ def main(mesh_devices: int = 0, batch_per_dev: int = BATCH, steps: int = STEPS):
     if mesh_devices:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        n_dev = mesh_devices
+        # "N" -> N-way data parallel; "DxW" -> (data, width) mesh: the batch
+        # scales with the data axis only and the azimuth dim shards over
+        # 'width' (the multi-chip latency lane, inference.sample semantics)
+        shape = [int(s) for s in str(mesh_devices).lower().split("x")]
+        n_dev = int(np.prod(shape))
         devs = jax.devices()[:n_dev]
         assert len(devs) == n_dev, f"need {n_dev} devices, have {len(devs)}"
-        mesh = Mesh(np.asarray(devs), ("data",))
-        batch = batch_per_dev * n_dev  # weak scaling: constant per-chip batch
+        axes = ("data",) if len(shape) == 1 else ("data", "width")
+        mesh = Mesh(np.asarray(devs).reshape(shape), axes)
+        batch = batch_per_dev * shape[0]  # weak scaling on the data axis
+        w = "width" if len(shape) > 1 else None
         rep = NamedSharding(mesh, P())
-        sharded = NamedSharding(mesh, P("data", None, None, None))
+        sharded = NamedSharding(mesh, P("data", None, w, None))
         variables = jax.device_put(variables, rep)
 
     def jit_seg(mode, ddim_eta=0.0):
@@ -242,8 +248,9 @@ def main(mesh_devices: int = 0, batch_per_dev: int = BATCH, steps: int = STEPS):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--mesh", type=int, default=0,
-        help="shard over an N-device data mesh; report aggregate img/s",
+        "--mesh", type=str, default="",
+        help="'N' = N-device data mesh (aggregate img/s); 'DxW' = (data, "
+        "width) mesh additionally sharding the azimuth axis (latency lane)",
     )
     parser.add_argument(
         "--batch", type=int, default=BATCH,

@@ -56,6 +56,14 @@ def main(args):
     x_in = mask * x_orig + (1 - mask) * -1.0
 
     # ------------------------------------------------------------ completion
+    mesh = None
+    n_mesh = getattr(args, "mesh", "")
+    if n_mesh:
+        # completion is the latency-sensitive interactive path: 'DxW' meshes
+        # shard the azimuth axis too (DDPM.repaint semantics)
+        from r2dm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tuple(int(s) for s in str(n_mesh).lower().split("x")))
     x_out = ddpm.repaint(
         known=x_in,
         mask=mask,
@@ -64,6 +72,7 @@ def main(args):
         jump_length=args.jump_length,
         seeds=list(range(batch_size)),
         data_format="NHWC",
+        mesh=mesh,
     )
     x_out = jnp.clip(x_out, -1, 1)
 
@@ -164,4 +173,9 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sample_id", type=int, default=-1)
     parser.add_argument("--rangenet_tar", type=str, default=None)
+    parser.add_argument(
+        "--mesh", type=str, default="",
+        help="'N' data mesh or 'DxW' (data, width) mesh for the repaint "
+        "(width sharding = multi-chip latency lane)",
+    )
     main(parser.parse_args())

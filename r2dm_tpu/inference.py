@@ -435,6 +435,7 @@ class DDPM:
         key=None,
         seeds=None,
         data_format: str = "NCHW",
+        mesh=None,
         progress: bool = False,
         progress_chunk: int = 32,
     ) -> jnp.ndarray:
@@ -448,6 +449,9 @@ class DDPM:
         ``diffusion.repaint_segment`` over contiguous outer-step slices —
         bit-identical to the monolithic path (same key-split sequence).
         ``progress=True`` also prints a host-side progress line per chunk.
+        ``mesh``: same semantics as :meth:`sample` — batch over 'data', and
+        on a (data, width) mesh the azimuth axis too (completion is the
+        latency-sensitive interactive path).
         """
         if data_format == "NCHW":
             known = jnp.transpose(known, (0, 2, 3, 1))
@@ -462,29 +466,50 @@ class DDPM:
             x = self._repaint_chunked(
                 known, mask, num_steps, num_resample_steps, jump_length,
                 self._key(key, seeds), show=progress, chunk=progress_chunk,
+                mesh=mesh,
             )
         else:
             sig = ("repaint", known.shape, num_steps, num_resample_steps,
-                   jump_length)
-            fn = self._cached_jit(
-                sig,
-                lambda: jax.jit(
-                    partial(
-                        self.diffusion.repaint,
-                        num_steps=num_steps,
-                        num_resample_steps=num_resample_steps,
-                        jump_length=jump_length,
+                   jump_length, mesh)
+
+            def make():
+                fn = partial(
+                    self.diffusion.repaint,
+                    num_steps=num_steps,
+                    num_resample_steps=num_resample_steps,
+                    jump_length=jump_length,
+                )
+                if mesh is not None:
+                    rep, sharded, _ = self._mesh_shardings(mesh)
+                    return jax.jit(
+                        fn,
+                        in_shardings=(rep, sharded, sharded, None),
+                        out_shardings=sharded,
                     )
-                ),
-            )
+                return jax.jit(fn)
+
+            fn = self._cached_jit(sig, make)
             x = fn(self.variables, known, mask, self._key(key, seeds))
         if data_format == "NCHW":
             x = jnp.transpose(x, (0, 3, 1, 2))
         return x
 
+    @staticmethod
+    def _mesh_shardings(mesh):
+        """(replicated, image-batch, step-stack) shardings for a serving
+        mesh: batch over 'data', azimuth over 'width' when the mesh has a
+        second axis (see sample())."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        w = "width" if "width" in mesh.axis_names else None
+        rep = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P("data", None, w, None))
+        stack = NamedSharding(mesh, P(None, "data", None, w, None))
+        return rep, sharded, stack
+
     def _repaint_chunked(
         self, known, mask, num_steps, num_resample_steps, jump_length, key,
-        show: bool, chunk: int,
+        show: bool, chunk: int, mesh=None,
     ) -> jnp.ndarray:
         """Chunked-dispatch RePaint (see repaint()); NHWC in/out."""
         import sys
@@ -504,16 +529,32 @@ class DDPM:
         ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
 
         def make_seg():
-            return jax.jit(
-                partial(
-                    diff.repaint_segment,
-                    num_resample_steps=num_resample_steps,
-                    jump_length=jump_length,
-                )
+            fn = partial(
+                diff.repaint_segment,
+                num_resample_steps=num_resample_steps,
+                jump_length=jump_length,
             )
+            if mesh is not None:
+                rep, sharded, _ = self._mesh_shardings(mesh)
+                # (variables, known, mask, x, key, ts_pairs) -> (x, key)
+                return jax.jit(
+                    fn,
+                    in_shardings=(rep, sharded, sharded, sharded, rep, rep),
+                    out_shardings=(sharded, rep),
+                )
+            return jax.jit(fn)
 
         def make_final():
-            return jax.jit(partial(diff.repaint_final, jump_length=jump_length))
+            fn = partial(diff.repaint_final, jump_length=jump_length)
+            if mesh is not None:
+                rep, sharded, _ = self._mesh_shardings(mesh)
+                # (variables, known, mask, x, key, t, s) -> x
+                return jax.jit(
+                    fn,
+                    in_shardings=(rep, sharded, sharded, sharded, rep, rep, rep),
+                    out_shardings=sharded,
+                )
+            return jax.jit(fn)
 
         t0 = time.time()
         done = 0
@@ -521,7 +562,8 @@ class DDPM:
         if num_steps > 1:
             ts_pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
             seg_fn = self._cached_jit(
-                ("repaint_seg", known.shape, num_resample_steps, jump_length),
+                ("repaint_seg", known.shape, num_resample_steps, jump_length,
+                 mesh),
                 make_seg,
             )
             while done < num_steps - 1:
@@ -543,7 +585,7 @@ class DDPM:
                         msg += f" ({rate:.1f} step/s, eta {eta:.0f}s)"
                     print(msg, end="", file=sys.stderr, flush=True)
         final_fn = self._cached_jit(
-            ("repaint_final", known.shape, jump_length), make_final
+            ("repaint_final", known.shape, jump_length, mesh), make_final
         )
         x = final_fn(
             self.variables, known, mask, x, key, ts[num_steps - 1], ts[num_steps]

@@ -154,6 +154,36 @@ def test_repaint_chunked_bit_identical(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_repaint_mesh_parity(tiny_setup):
+    """repaint(mesh=...) on (data,) and (data, width) meshes must agree with
+    the unsharded result, for both the monolithic and chunked routes."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from r2dm_tpu.parallel import make_mesh
+
+    cfg, model, variables = tiny_setup
+    known = jnp.zeros((2, 2, 16, 64)).at[:, :, :8].set(0.5)
+    mask = jnp.zeros((2, 2, 16, 64)).at[:, :, :8].set(1.0)
+    kwargs = dict(num_steps=4, num_resample_steps=2, jump_length=1,
+                  seeds=[5, 6])
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    a = ddpm.repaint(known, mask, **kwargs)
+    for mesh in (make_mesh((2,)), make_mesh((2, 4))):
+        b = ddpm.repaint(known, mask, mesh=mesh, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, err_msg=str(mesh.shape)
+        )
+        # chunked route under the same mesh
+        ddpm2 = DDPM(build_diffusion(cfg, model), variables, cfg)
+        ddpm2.AUTO_CHUNK_WORK = 1
+        c = ddpm2.repaint(known, mask, mesh=mesh, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), atol=1e-4, err_msg=str(mesh.shape)
+        )
+
+
 def test_jit_cache_is_bounded(tiny_setup):
     """Distinct sampler signatures must not grow the compiled-fn cache past
     JIT_CACHE_SIZE (serving processes sweep shapes; VERDICT r2 weak #6)."""

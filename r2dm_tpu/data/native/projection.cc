@@ -25,8 +25,16 @@ constexpr float kPi = 3.14159265358979323846f;
 constexpr float kHUp = 3.0f * kPi / 180.0f;
 constexpr float kHDown = -25.0f * kPi / 180.0f;
 
-inline int clip_int(int v, int lo, int hi) {
-  return v < lo ? lo : (v > hi ? hi : v);
+// floor(f) -> [0, hi] bin with NaN/Inf guarded: raw .bin files can carry
+// non-finite coordinates, and |z/d| can round above 1 before asin — a
+// float->int cast of those is undefined behavior (UBSan float-cast-overflow;
+// tools/sanitize_projection.cc). NaN and anything below 0 map to bin 0,
+// +Inf to hi, matching clip semantics for every finite value.
+inline int bin_index(float f, int hi) {
+  f = std::floor(f);
+  if (!(f > 0.0f)) return 0;
+  if (f >= (float)hi) return hi;
+  return (int)f;
 }
 
 }  // namespace
@@ -54,7 +62,7 @@ int project_scan(const float* points, int64_t n, int H, int W,
     const float azimuth = -std::atan2(y, x);            // [-pi, pi]
     float gw = (azimuth / kPi + 1.0f) * 0.5f;           // [0, 1]
     gw = gw - std::floor(gw);                           // % 1
-    grid_w[i] = clip_int((int)std::floor(gw * W), 0, W - 1);
+    grid_w[i] = bin_index(gw * W, W - 1);
   }
 
   if (scan_unfolding) {
@@ -98,7 +106,7 @@ int project_scan(const float* points, int64_t n, int H, int W,
       const float d = depth[i];
       const float elevation = std::asin(d > 0 ? z / d : 0.0f) - kHDown;
       const float gh = 1.0f - elevation / (kHUp - kHDown);
-      grid_h[i] = clip_int((int)std::floor(gh * H), 0, H - 1);
+      grid_h[i] = bin_index(gh * H, H - 1);
     }
   }
 

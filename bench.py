@@ -115,20 +115,18 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     mesh = None
     n_dev = 1
     batch = batch_per_dev
-    if mesh_devices:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    # "N" -> N-way data parallel; "DxW" -> (data, width) mesh: the batch
+    # scales with the data axis only and the azimuth dim shards over
+    # 'width' (the multi-chip latency lane, inference.sample semantics)
+    from r2dm_tpu.parallel import parse_mesh
 
-        # "N" -> N-way data parallel; "DxW" -> (data, width) mesh: the batch
-        # scales with the data axis only and the azimuth dim shards over
-        # 'width' (the multi-chip latency lane, inference.sample semantics)
-        shape = [int(s) for s in str(mesh_devices).lower().split("x")]
-        n_dev = int(np.prod(shape))
-        devs = jax.devices()[:n_dev]
-        assert len(devs) == n_dev, f"need {n_dev} devices, have {len(devs)}"
-        axes = ("data",) if len(shape) == 1 else ("data", "width")
-        mesh = Mesh(np.asarray(devs).reshape(shape), axes)
-        batch = batch_per_dev * shape[0]  # weak scaling on the data axis
-        w = "width" if len(shape) > 1 else None
+    mesh = parse_mesh(mesh_devices)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        batch = batch_per_dev * mesh.shape["data"]  # weak scaling: data axis
+        w = "width" if "width" in mesh.axis_names else None
         rep = NamedSharding(mesh, P())
         sharded = NamedSharding(mesh, P("data", None, w, None))
         variables = jax.device_put(variables, rep)

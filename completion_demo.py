@@ -56,14 +56,11 @@ def main(args):
     x_in = mask * x_orig + (1 - mask) * -1.0
 
     # ------------------------------------------------------------ completion
-    mesh = None
-    n_mesh = getattr(args, "mesh", "")
-    if n_mesh:
-        # completion is the latency-sensitive interactive path: 'DxW' meshes
-        # shard the azimuth axis too (DDPM.repaint semantics)
-        from r2dm_tpu.parallel import make_mesh
+    # completion is the latency-sensitive interactive path: 'DxW' meshes
+    # shard the azimuth axis too (DDPM.repaint semantics)
+    from r2dm_tpu.parallel import parse_mesh
 
-        mesh = make_mesh(tuple(int(s) for s in str(n_mesh).lower().split("x")))
+    mesh = parse_mesh(getattr(args, "mesh", ""), batch_size=batch_size)
     x_out = ddpm.repaint(
         known=x_in,
         mask=mask,

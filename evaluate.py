@@ -121,16 +121,9 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
 
 
 def main(args):
-    mesh = None
-    n_mesh = getattr(args, "mesh", 0)
-    if n_mesh:
-        from jax.sharding import Mesh
+    from r2dm_tpu.parallel import parse_mesh
 
-        devs = jax.devices()[:n_mesh]
-        assert len(devs) == n_mesh, f"need {n_mesh} devices, have {len(devs)}"
-        if args.batch_size % n_mesh:
-            raise SystemExit(f"--batch_size must be divisible by --mesh {n_mesh}")
-        mesh = Mesh(np.asarray(devs), ("data",))
+    mesh = parse_mesh(getattr(args, "mesh", 0), batch_size=args.batch_size)
     _, lidar_utils, cfg = setup_model(args.ckpt)
     H, W = lidar_utils.resolution
     extract = build_extractors(args, (H, W), mesh=mesh)
@@ -259,7 +252,7 @@ if __name__ == "__main__":
     parser.add_argument("--pointnet_ckpt", type=str, default=None)
     parser.add_argument("--allow_random_extractors", action="store_true")
     parser.add_argument(
-        "--mesh", type=int, default=0,
+        "--mesh", type=str, default="",
         help="shard feature extraction over an N-device 'data' mesh "
         "(batch_size must be divisible by N)",
     )

@@ -114,8 +114,13 @@ int project_scan(const float* points, int64_t n, int H, int W,
   // (== reference's stable descending-depth sort + last-write-wins)
   std::vector<float> best(static_cast<size_t>(H) * W, -1.0f);
   for (int64_t i = 0; i < n; ++i) {
-    const size_t cell = static_cast<size_t>(grid_h[i]) * W + grid_w[i];
     const float d = depth[i];
+    // a non-finite point is not a point: writing it would poison its cell
+    // (NaN fails every later depth comparison, dropping real returns there).
+    // Matches the reference's effective behavior — numpy's descending sort
+    // places NaN depths first, so any valid point overwrites them.
+    if (!std::isfinite(d)) continue;
+    const size_t cell = static_cast<size_t>(grid_h[i]) * W + grid_w[i];
     if (best[cell] < 0.0f || d <= best[cell]) {
       best[cell] = d;
       float* dst = out + cell * 6;

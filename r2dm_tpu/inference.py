@@ -276,19 +276,15 @@ class DDPM:
                     return_all=return_all,
                 )
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
                 # a 2-axis (data, width) mesh additionally shards the
                 # azimuth dim: GSPMD turns the ring convs' wrap columns and
                 # FIR margins into ICI halo permutes (parallel/mesh.py) —
                 # the multi-chip LATENCY lane (batch can be as small as 1)
-                w = "width" if "width" in mesh.axis_names else None
-                batch_axes = (None, "data") if return_all else ("data",)
-                out = NamedSharding(mesh, P(*batch_axes, None, w, None))
+                rep, sharded, stack = self._mesh_shardings(mesh)
                 return jax.jit(
                     fn,
-                    in_shardings=(NamedSharding(mesh, P()), None),
-                    out_shardings=out,
+                    in_shardings=(rep, None),
+                    out_shardings=stack if return_all else sharded,
                 )
             return jax.jit(fn)
 
@@ -337,10 +333,7 @@ class DDPM:
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                w = "width" if "width" in mesh.axis_names else None
-                rep = NamedSharding(mesh, P())
-                sharded = NamedSharding(mesh, P("data", None, w, None))
-                stack = NamedSharding(mesh, P(None, "data", None, w, None))
+                rep, sharded, stack = self._mesh_shardings(mesh)
                 if dpmpp:
                     # (variables, x, prev_x0, prev_lam, key, ts_seg, 2nd-order)
                     # prev_lam is (B,1,1,1): batch-sharded only (its W dim

@@ -44,6 +44,29 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def parse_mesh(spec, batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """CLI mesh spec -> Mesh: '' / 0 / '0' -> None (no mesh), 'N' -> N-way
+    data mesh, 'DxW' -> (data, width) mesh. One place for the validation the
+    serving CLIs (bench/generate/sample_and_save/evaluate/completion_demo)
+    all need: enough devices, and — when ``batch_size`` is given — a batch
+    divisible by the data axis."""
+    if not spec or str(spec) == "0":
+        return None
+    try:
+        shape = tuple(int(s) for s in str(spec).lower().split("x"))
+        assert all(s > 0 for s in shape) and len(shape) in (1, 2)
+    except (ValueError, AssertionError):
+        raise SystemExit(f"--mesh must be 'N' or 'DxW' with positive ints, got {spec!r}")
+    n = int(np.prod(shape))
+    if n > len(jax.devices()):
+        raise SystemExit(f"--mesh {spec} needs {n} devices, have {len(jax.devices())}")
+    if batch_size is not None and batch_size % shape[0]:
+        raise SystemExit(
+            f"batch size {batch_size} not divisible by the {shape[0]}-way data axis"
+        )
+    return make_mesh(shape)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -32,17 +32,13 @@ def main(args):
         from r2dm_tpu.models import layers
 
         layers.QUANT_CONV = "w8a8"
-    mesh = None
-    n_mesh = getattr(args, "mesh", 0)
-    if n_mesh:
-        # single-process multi-chip: the batch shards over a 'data' mesh
-        # inside DDPM.sample (aggregate img/s scales with chips); combine
-        # with process striding below for multi-host pods
-        from jax.sharding import Mesh
+    # single-process multi-chip: the batch shards over the mesh inside
+    # DDPM.sample (aggregate img/s scales with chips); combine with process
+    # striding below for multi-host pods
+    from r2dm_tpu.parallel import parse_mesh
 
-        devs = jax.devices()[:n_mesh]
-        assert len(devs) == n_mesh, f"need {n_mesh} devices, have {len(devs)}"
-        mesh = Mesh(np.asarray(devs), ("data",))
+    mesh = parse_mesh(getattr(args, "mesh", 0))
+    n_data = mesh.shape["data"] if mesh is not None else 1
     ddpm, lidar_utils, cfg = setup_model(
         args.ckpt, dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None
     )
@@ -68,10 +64,10 @@ def main(args):
         batch_seeds = seeds[lo : lo + args.batch_size]
         n = len(batch_seeds)
         run_seeds = batch_seeds
-        if mesh is not None and n % n_mesh:
-            # mesh-divisible tail batch: samples are per-seed deterministic,
-            # so pad with throwaway seeds and discard their outputs
-            pad = n_mesh - n % n_mesh
+        if mesh is not None and n % n_data:
+            # data-axis-divisible tail batch: samples are per-seed
+            # deterministic, so pad with throwaway seeds, discard outputs
+            pad = n_data - n % n_data
             run_seeds = np.concatenate(
                 [batch_seeds, batch_seeds[-1] + 1 + np.arange(pad)]
             )
@@ -106,8 +102,9 @@ if __name__ == "__main__":
         help="bf16 network compute (TPU fast path; schedule math stays fp32)",
     )
     parser.add_argument(
-        "--mesh", type=int, default=0,
-        help="shard each sampling batch over an N-device 'data' mesh "
-        "(single-process multi-chip; combine with process striding for pods)",
+        "--mesh", type=str, default="",
+        help="shard each sampling batch over 'N' data devices or a 'DxW' "
+        "(data, width) mesh (single-process multi-chip; combine with "
+        "process striding for pods)",
     )
     main(parser.parse_args())

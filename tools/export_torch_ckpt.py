@@ -15,9 +15,9 @@ at construction (FIR kernels, residual ``scale``, coord-encoding tables,
 buffers already hold the right values; asserted by
 tests/test_torch_export.py against the live reference net).
 
-Usage: python tools/export_torch_ckpt.py checkpoint.msgpack out.pth [--raw]
-(default exports the EMA weights like the reference's inference default;
---raw exports the training weights instead)
+Usage: python tools/export_torch_ckpt.py checkpoint.msgpack out.pth
+(both the raw-training and EMA lanes are translated; the reference serves
+ema_weights by default — utils/inference.py:80-81)
 """
 
 import argparse
@@ -32,11 +32,6 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("ckpt", help="our .msgpack checkpoint")
     p.add_argument("out", help="output .pth path")
-    p.add_argument(
-        "--raw", action="store_true",
-        help="export the raw training weights (default: EMA weights, the "
-        "reference inference default — utils/inference.py:80-81)",
-    )
     args = p.parse_args(argv)
 
     import torch
@@ -48,27 +43,35 @@ def main(argv=None):
     )
 
     ckpt = load_checkpoint(args.ckpt)
-    weights = ckpt["weights"] if args.raw or not ckpt.get("ema_weights") else (
-        ckpt["ema_weights"]
-    )
     arch = ckpt["cfg"].get("model", {}).get("architecture", "efficient_unet")
     export = (
         export_refinenet_state_dict if arch == "refinenet"
         else export_unet_state_dict
     )
-    sd = {
-        # copy: msgpack-loaded arrays are read-only views, torch wants writable
-        k: torch.from_numpy(np.array(v, copy=True))
-        for k, v in export(weights).items()
-    }
+
+    def to_torch(tree):
+        return {
+            # copy: msgpack arrays are read-only views, torch wants writable
+            k: torch.from_numpy(np.array(v, copy=True))
+            for k, v in export(tree).items()
+        }
+
+    # both lanes translate independently — the reference reads ema_weights
+    # for inference (utils/inference.py:80-81) and weights to keep training
+    weights = to_torch(ckpt["weights"])
     out = {
         "cfg": ckpt["cfg"],
-        "weights": sd,
-        "ema_weights": sd,
+        "weights": weights,
+        "ema_weights": (
+            to_torch(ckpt["ema_weights"]) if ckpt.get("ema_weights") else weights
+        ),
         "global_step": ckpt.get("global_step", 0),
     }
     torch.save(out, args.out)
-    print(f"wrote {args.out}: {len(sd)} tensors, step {out['global_step']}")
+    print(
+        f"wrote {args.out}: {len(weights)} tensors/lane, "
+        f"step {out['global_step']}"
+    )
 
 
 if __name__ == "__main__":

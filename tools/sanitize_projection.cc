@@ -41,9 +41,18 @@ void run_case(const char* name, const std::vector<float>& pts) {
       std::fprintf(stderr, "case %s (unfold=%d): rc=%d\n", name, unfold, rc);
       std::exit(1);
     }
-    // touch every output so ASan sees the reads too
+    // touch every output so ASan sees the reads too, and assert the depth
+    // channel stays finite: a non-finite point must be SKIPPED, not binned
+    // (a NaN depth poisons its z-buffer cell for all later valid returns)
     double acc = 0.0;
     for (float v : out) acc += std::isfinite(v) ? v : 0.0;
+    for (size_t c = 0; c < (size_t)kH * kW; ++c) {
+      if (std::isnan(out[c * 6 + 4])) {
+        std::fprintf(stderr, "case %s (unfold=%d): NaN depth at cell %zu\n",
+                     name, unfold, c);
+        std::exit(1);
+      }
+    }
     std::printf("case %-16s unfold=%d n=%lld acc=%.3f\n", name, unfold,
                 (long long)n, acc);
   }

@@ -88,6 +88,29 @@ def train(cfg: config_lib.Config) -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("r2dm_tpu startup")
+    # Preemption-consensus collective (used by should_stop below): ONE
+    # compiled global any() reused every step, built + warmed HERE while the
+    # processes are still aligned — its first execution initializes the
+    # cross-host communicator, whose bounded rendezvous window per-host
+    # compile skew would otherwise blow past (exactly the startup-sync
+    # problem above; observed as a 30 s Gloo GetKeyValue timeout when the
+    # consensus was a fresh per-step process_allgather).
+    consensus_any = None
+    if jax.process_count() > 1:
+        from jax.sharding import Mesh as _Mesh, NamedSharding as _NS
+        from jax.sharding import PartitionSpec as _P
+
+        _gmesh = _Mesh(np.asarray(jax.devices()), ("p",))
+        _flag_sh = _NS(_gmesh, _P("p"))
+        _any_jit = jax.jit(jnp.any, out_shardings=_NS(_gmesh, _P()))
+
+        def consensus_any(local: bool) -> bool:
+            flag = jax.make_array_from_process_local_data(
+                _flag_sh, np.full((jax.local_device_count(),), bool(local))
+            )
+            return bool(_any_jit(flag))
+
+        consensus_any(False)  # warm the communicator while aligned
     out_dir = tcfg.output_dir
     is_main = jax.process_index() == 0
     if is_main:
@@ -207,60 +230,86 @@ def train(cfg: config_lib.Config) -> None:
     # has no recovery story at all (SURVEY.md §5). Installed per-run so
     # programmatic callers (tests) get their handlers back afterwards.
     preempted = {"signal": None}
+    prev_handlers = {}
 
     def _on_preempt(signum, frame):
         preempted["signal"] = signum
+        # re-arm the previous handlers so a SECOND signal acts normally
+        # (e.g. Ctrl-C again aborts a stuck compile instead of being eaten)
+        for _s, _h in prev_handlers.items():
+            signal.signal(_s, _h)
         if is_main:
             print(
                 f"received signal {signum}: checkpointing at the next step "
-                "boundary and exiting",
+                "boundary and exiting (repeat the signal to abort)",
                 flush=True,
             )
 
-    prev_handlers = {}
     for _sig in (signal.SIGTERM, signal.SIGINT):
         try:
             prev_handlers[_sig] = signal.signal(_sig, _on_preempt)
         except ValueError:  # not in the main thread — skip the guard
             pass
 
+    def should_stop() -> bool:
+        """Preemption consensus at the step boundary. Multi-host: the signal
+        can land between processes' loop checks — exiting on a process-LOCAL
+        flag would leave the others blocked in the next step's collectives.
+        All hosts must agree, so the flag goes through the pre-warmed global
+        any() (consensus_any above) before anyone stops."""
+        stop = preempted["signal"] is not None
+        if consensus_any is not None:
+            stop = consensus_any(stop)
+        return stop
+
     # ------------------------------------------------------------ hot loop
     t0 = time.time()
     global_step = start_step
     data_iter = iter(loader)
-    while global_step < tcfg.num_steps and preempted["signal"] is None:
-        raw = next(data_iter)
-        batch = shard_batch(
-            mesh, {k: jnp.asarray(v) for k, v in raw.items() if k != "sample_id"}
-        )
-        step_key = jax.random.fold_in(root_key, global_step)
-        if tcfg.profile_dir and global_step - start_step == 10:
-            jax.profiler.start_trace(tcfg.profile_dir)
-        state, metrics = step_fn(state, batch, step_key, None)
-        global_step += 1
-        if tcfg.profile_dir and global_step - start_step == 15:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            if is_main:
-                print(f"profile trace written to {tcfg.profile_dir}")
-
-        if global_step % 50 == 0 or global_step == 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["lr"] = float(lr_schedule(global_step))
-            m["steps_per_sec"] = (
-                (global_step - start_step) / (time.time() - t0)
+    try:
+        while global_step < tcfg.num_steps and not should_stop():
+            raw = next(data_iter)
+            batch = shard_batch(
+                mesh, {k: jnp.asarray(v) for k, v in raw.items() if k != "sample_id"}
             )
-            logger.log(global_step, m)  # cf. train.py:273-277
+            step_key = jax.random.fold_in(root_key, global_step)
+            if tcfg.profile_dir and global_step - start_step == 10:
+                jax.profiler.start_trace(tcfg.profile_dir)
+            state, metrics = step_fn(state, batch, step_key, None)
+            global_step += 1
+            if tcfg.profile_dir and global_step - start_step == 15:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                if is_main:
+                    print(f"profile trace written to {tcfg.profile_dir}")
 
-        if global_step % tcfg.steps_save_image == 0 and is_main:
-            ema_vars = {"params": state.ema_params, "buffers": state.buffers}
-            key = jax.random.fold_in(jax.random.key(9), global_step)
-            samples = sample_jit(ema_vars, key)
-            save_image_panels(
-                out_dir, global_step, samples, lidar_utils, channels
-            )  # cf. train.py:282-289, 220-245
+            if global_step % 50 == 0 or global_step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["lr"] = float(lr_schedule(global_step))
+                m["steps_per_sec"] = (
+                    (global_step - start_step) / (time.time() - t0)
+                )
+                logger.log(global_step, m)  # cf. train.py:273-277
 
-        if global_step % tcfg.steps_save_model == 0 and is_main:
+            if global_step % tcfg.steps_save_image == 0 and is_main:
+                ema_vars = {"params": state.ema_params, "buffers": state.buffers}
+                key = jax.random.fold_in(jax.random.key(9), global_step)
+                samples = sample_jit(ema_vars, key)
+                save_image_panels(
+                    out_dir, global_step, samples, lidar_utils, channels
+                )  # cf. train.py:282-289, 220-245
+
+            if global_step % tcfg.steps_save_model == 0 and is_main:
+                save_checkpoint(
+                    os.path.join(out_dir, "checkpoint.msgpack"),
+                    config_lib.asdict(cfg),
+                    {"params": state.params, "buffers": state.buffers},
+                    ema_weights={"params": state.ema_params, "buffers": state.buffers},
+                    opt_state=jax.tree.map(np.asarray, state.opt_state),
+                    step=global_step,
+                )  # cf. train.py:291-304 (+ resume support)
+
+        if is_main:
             save_checkpoint(
                 os.path.join(out_dir, "checkpoint.msgpack"),
                 config_lib.asdict(cfg),
@@ -268,29 +317,22 @@ def train(cfg: config_lib.Config) -> None:
                 ema_weights={"params": state.ema_params, "buffers": state.buffers},
                 opt_state=jax.tree.map(np.asarray, state.opt_state),
                 step=global_step,
-            )  # cf. train.py:291-304 (+ resume support)
-
-    if is_main:
-        save_checkpoint(
-            os.path.join(out_dir, "checkpoint.msgpack"),
-            config_lib.asdict(cfg),
-            {"params": state.params, "buffers": state.buffers},
-            ema_weights={"params": state.ema_params, "buffers": state.buffers},
-            opt_state=jax.tree.map(np.asarray, state.opt_state),
-            step=global_step,
-        )
-        if preempted["signal"] is not None:
-            print(
-                f"preempted at step {global_step} (signal "
-                f"{preempted['signal']}); resume with --training.resume "
-                f"{os.path.join(out_dir, 'checkpoint.msgpack')}"
             )
-        else:
-            print(
-                f"done: {global_step} steps in {time.time()-t0:.0f}s -> {out_dir}"
-            )
-    for _sig, _h in prev_handlers.items():
-        signal.signal(_sig, _h)
+            if preempted["signal"] is not None:
+                print(
+                    f"preempted at step {global_step} (signal "
+                    f"{preempted['signal']}); resume with --training.resume "
+                    f"{os.path.join(out_dir, 'checkpoint.msgpack')}"
+                )
+            else:
+                print(
+                    f"done: {global_step} steps in {time.time()-t0:.0f}s -> {out_dir}"
+                )
+    finally:
+        # restore on every exit path (exceptions included) so
+        # programmatic callers keep their Ctrl-C/SIGTERM semantics
+        for _sig, _h in prev_handlers.items():
+            signal.signal(_sig, _h)
 
 
 if __name__ == "__main__":

@@ -133,7 +133,7 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", type=str, required=True)
-    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m"], default="ddpm")
+    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m", "euler", "midpoint"], default="ddpm")
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--sampling_steps", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)

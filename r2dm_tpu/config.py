@@ -45,7 +45,7 @@ class DiffusionConfig:
     prediction_type: Literal["eps", "v", "x_0"] = "eps"
     loss_type: str = "l2"
     noise_schedule: str = "cosine"
-    timestep_type: Literal["continuous", "discrete"] = "continuous"
+    timestep_type: Literal["continuous", "discrete", "flow"] = "continuous"
 
 
 @dataclass

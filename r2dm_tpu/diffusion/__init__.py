@@ -8,12 +8,14 @@ from .base import (
 )
 from .continuous import ContinuousTimeGaussianDiffusion
 from .discrete import DiscreteTimeGaussianDiffusion
+from .flow import RectifiedFlow
 
 __all__ = [
     "schedules",
     "GaussianDiffusion",
     "ContinuousTimeGaussianDiffusion",
     "DiscreteTimeGaussianDiffusion",
+    "RectifiedFlow",
     "as_typed_key",
     "key_batch_from_seeds",
     "normal",

@@ -128,6 +128,15 @@ def build_diffusion(cfg: config_lib.Config, model, apply_fn=None):
         return DiscreteTimeGaussianDiffusion(
             num_training_steps=cfg.diffusion.num_training_steps or 1024, **common
         )
+    if cfg.diffusion.timestep_type == "flow":
+        # rectified flow / flow matching (diffusion/flow.py) — the few-step
+        # family of the reference authors' follow-up (arXiv 2412.02241);
+        # prediction_type/noise_schedule do not apply to the straight-path ODE
+        from .diffusion.flow import RectifiedFlow
+
+        return RectifiedFlow(
+            model=model, loss_type=cfg.diffusion.loss_type, apply_fn=apply_fn
+        )
     raise ValueError(f"unknown timestep type: {cfg.diffusion.timestep_type}")
 
 
@@ -229,12 +238,22 @@ class DDPM:
         ~17 s segments are stable), and chunking costs nothing — segment
         dispatches queue asynchronously and the math is bit-identical.
         """
-        if mode == "dpmpp_2m" and isinstance(
-            self.diffusion, DiscreteTimeGaussianDiffusion
+        from .diffusion.flow import RectifiedFlow
+
+        is_flow = isinstance(self.diffusion, RectifiedFlow)
+        if mode == "dpmpp_2m" and (
+            is_flow or isinstance(self.diffusion, DiscreteTimeGaussianDiffusion)
         ):
             raise ValueError(
                 "mode='dpmpp_2m' requires continuous-time diffusion "
                 "(the solver integrates the logSNR-parameterized PF-ODE)"
+            )
+        if (mode in ("euler", "midpoint")) != is_flow:
+            raise ValueError(
+                f"mode={mode!r} does not apply to "
+                f"{type(self.diffusion).__name__}: flow checkpoints sample "
+                "with 'euler'/'midpoint', Gaussian ones with "
+                "'ddpm'/'ddim'/'dpmpp_2m'"
             )
         work = batch_size * num_steps * int(np.prod(self.sampling_shape[:-1]))
         auto_chunk = work >= self.AUTO_CHUNK_WORK
@@ -446,6 +465,13 @@ class DDPM:
         on a (data, width) mesh the azimuth axis too (completion is the
         latency-sensitive interactive path).
         """
+        from .diffusion.flow import RectifiedFlow
+
+        if isinstance(self.diffusion, RectifiedFlow):
+            raise ValueError(
+                "repaint requires a Gaussian diffusion process (the RePaint "
+                "resampling loop re-noises; the flow ODE is deterministic)"
+            )
         if data_format == "NCHW":
             known = jnp.transpose(known, (0, 2, 3, 1))
             mask = jnp.transpose(mask, (0, 2, 3, 1))

@@ -96,7 +96,7 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_samples", type=int, default=10_000)
     parser.add_argument("--num_steps", type=int, default=256)
-    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m"], default="ddpm")
+    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m", "euler", "midpoint"], default="ddpm")
     parser.add_argument(
         "--bf16", action="store_true",
         help="bf16 network compute (TPU fast path; schedule math stays fp32)",

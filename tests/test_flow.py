@@ -230,3 +230,25 @@ def test_flow_train_cli_checkpoint_samples(tmp_path, monkeypatch):
     x = ddpm.sample(batch_size=2, num_steps=4, seeds=[0, 1], mode="euler")
     assert x.shape == (2, 2, 16, 128)
     assert np.isfinite(np.asarray(x)).all()
+
+    # reflow (2-rectification) consumes the checkpoint and emits another
+    # loadable one that samples in 1-2 euler steps (tools/reflow.py)
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "reflow", Path(__file__).parent.parent / "tools" / "reflow.py"
+    )
+    reflow = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(reflow)
+    out2 = str(tmp_path / "reflowed.msgpack")
+    reflow.main([
+        "--ckpt", str(out / "checkpoint.msgpack"), "--out", out2,
+        "--num_pairs", "8", "--teacher_steps", "3", "--batch_size", "4",
+        "--train_steps", "6", "--seed", "0",
+    ])
+    ddpm2, _, _ = setup_model(out2)
+    assert isinstance(ddpm2.diffusion, RectifiedFlow)
+    y = ddpm2.sample(batch_size=2, num_steps=1, seeds=[0, 1], mode="euler")
+    assert y.shape == (2, 2, 16, 128)
+    assert np.isfinite(np.asarray(y)).all()

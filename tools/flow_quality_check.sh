@@ -1,0 +1,75 @@
+#!/bin/bash
+# On-device relative-quality protocol for the rectified-flow family
+# (NEXT.md round-5 item 1): train a flow model at config-H on synthetic
+# data, 2-rectify it (tools/reflow.py), sample the SAME seeds with
+#   teacher euler-32 / euler-2 / euler-1  and  reflowed euler-2 / euler-1,
+# evaluate all against the cached synthetic real set with random
+# extractors, and report the few-step gap. As with ddim_quality_check.sh,
+# random-extractor numbers are NOT paper-comparable — only the gaps between
+# rows (identical seeds/extractors) are meaningful. The expected signature
+# of a working reflow: reflowed euler-1/2 rows close most of the gap
+# between teacher euler-1/2 and teacher euler-32.
+#
+# Usage: bash tools/flow_quality_check.sh [workdir] [num_samples]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK=${1:-/tmp/r2dm_flow_quality}
+N=${2:-64}
+mkdir -p "$WORK"
+
+if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
+  python train.py \
+    --data.dataset synthetic \
+    --diffusion.timestep_type flow \
+    --training.num_steps 600 \
+    --training.batch_size_train 32 \
+    --training.steps_save_model 600 \
+    --training.steps_save_image 1000000 \
+    --training.output_dir "$WORK/ckpt"
+fi
+
+if [ ! -f "$WORK/reflowed.msgpack" ]; then
+  python tools/reflow.py \
+    --ckpt "$WORK/ckpt/checkpoint.msgpack" \
+    --out "$WORK/reflowed.msgpack" \
+    --num_pairs 1024 --teacher_steps 32 --batch_size 32 --train_steps 1000
+fi
+
+sample_eval() {
+  local ckpt=$1 tag=$2 steps=$3
+  local out="$WORK/samples_${tag}"
+  if [ ! -d "$out" ] || [ "$(ls "$out" | grep -c npz)" -lt "$N" ]; then
+    python sample_and_save.py \
+      --ckpt "$ckpt" \
+      --output_dir "$out" --num_samples "$N" --batch_size 64 \
+      --num_steps "$steps" --mode euler
+  fi
+  python evaluate.py \
+    --ckpt "$WORK/ckpt/checkpoint.msgpack" \
+    --sample_dir "$out" --allow_random_extractors
+}
+
+sample_eval "$WORK/ckpt/checkpoint.msgpack" teacher_euler32 32
+sample_eval "$WORK/ckpt/checkpoint.msgpack" teacher_euler2 2
+sample_eval "$WORK/ckpt/checkpoint.msgpack" teacher_euler1 1
+sample_eval "$WORK/reflowed.msgpack" reflow_euler2 2
+sample_eval "$WORK/reflowed.msgpack" reflow_euler1 1
+
+python - "$WORK" <<'EOF'
+import json, sys, glob
+work = sys.argv[1]
+def newest(tag):
+    files = sorted(glob.glob(f"{work}/samples_{tag}_*.json"))
+    assert files, f"no eval json for {tag}"
+    return json.load(open(files[-1]))
+tags = ["teacher_euler32", "teacher_euler2", "teacher_euler1",
+        "reflow_euler2", "reflow_euler1"]
+evals = {t: newest(t) for t in tags}
+rows = {}
+for grp in ("img", "pts", "bev"):
+    for k in evals[tags[0]].get(grp, {}):
+        rows[f"{grp}.{k}"] = {
+            t: round(float(evals[t][grp][k]), 4) for t in tags
+        }
+print(json.dumps({"flow_few_step_random_extractors": rows}, indent=2))
+EOF

@@ -154,6 +154,13 @@ def main():
         # * (act_scale * per-channel w_scale) -> bf16
         wscale = jnp.asarray(rng.uniform(0.5, 2.0, (C,)), jnp.float32)
 
+        # fresh s8 activation: xi was donated into the conv_int8 chain
+        xi = jax.jit(
+            lambda C=C, H=H, W=W: (
+                jax.random.normal(jax.random.key(4), (B, H, W, C)) * 20
+            ).astype(jnp.int8)
+        )()
+
         def conv_i8_deq(x, k, ws=wscale):
             y = jax.lax.conv_general_dilated(
                 x, k, (1, 1), ((1, 1), (1, 1)),
@@ -173,18 +180,26 @@ def main():
             print(json.dumps({"case": f"{lvl}_conv_int8_deq", "error": repr(e)[:200]}),
                   flush=True)
 
-        # dynamic per-tensor quantization overhead alone (bf16 -> s8)
+        # dynamic per-tensor quantization overhead alone (bf16 -> s8).
+        # NB: xb was DONATED into the conv_bf16 chain above (its buffer is
+        # deleted) — materialize a fresh activation for this case.
+        xq = jax.jit(
+            lambda C=C, H=H, W=W: jax.random.normal(
+                jax.random.key(3), (B, H, W, C), jnp.bfloat16
+            )
+        )()
+
         def quant(x):
             s = 127.0 / (jnp.max(jnp.abs(x).astype(jnp.float32)) + 1e-8)
             return jnp.round(x.astype(jnp.float32) * s).astype(jnp.int8)
 
         q = jax.jit(quant)
-        q(xb); float(jnp.ravel(q(xb))[0])
+        q(xq); float(jnp.ravel(q(xq))[0])
         trials = []
         for _ in range(3):
             t0 = time.time()
             for _ in range(args.reps):
-                o = q(xb)
+                o = q(xq)
             float(jnp.ravel(o)[0])
             trials.append((time.time() - t0) / args.reps)
         emit(f"{lvl}_quant_dyn", float(np.median(trials)), flops * 0 + 1)

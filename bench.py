@@ -240,6 +240,36 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
         result["ddim32_seconds_median"] = round(ddt, 3)
         result["ddim32_trials"] = len(dts)
 
+    # ---- tertiary headline: 1-step rectified-flow (euler) serving
+    # throughput, the reflow few-step lane (diffusion/flow.py; quality
+    # protocol tools/flow_quality_check.sh). Same network graph — only the
+    # scan wrapper differs — so with a warm persistent cache this costs
+    # seconds; the generous margin keeps a cold-cache driver run in budget.
+    flow_cost = est_trial / steps  # one net call per image
+    if (mesh is None and steps == STEPS
+            and budget_s - (time.time() - t_start) > 240 + flow_cost * 10):
+        cfg_flow = Config()
+        cfg_flow.diffusion.timestep_type = "flow"
+        flow = build_diffusion(cfg_flow, model)
+        fn1 = jax.jit(
+            lambda v, k: flow.sample(v, k, batch_size=batch, num_steps=1)
+        )
+        float(jnp.sum(fn1(variables, jax.random.key(70))[0, 0, 0]))  # compile
+        REPS = 8
+        fts = []
+        for trial in range(2):
+            t0 = time.time()
+            tot = jnp.zeros(())
+            for r in range(REPS):
+                x = fn1(variables, jax.random.key(71 + trial * REPS + r))
+                tot = tot + jnp.sum(x[0, 0, 0])
+            float(tot)
+            fts.append((time.time() - t0) / REPS)
+        fdt = statistics.median(fts)
+        result["flow_euler1_img_per_s"] = round(batch / fdt, 4)
+        result["flow_euler1_seconds_median"] = round(fdt, 4)
+        result["flow_euler1_trials"] = len(fts)
+
     print(json.dumps(result))
 
 

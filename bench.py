@@ -167,8 +167,10 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
 
     # ---- warmup: compile + time ONE segment (all chunks share the fn)
     x0, key0 = init_x(0)
+    t_compile0 = time.time()
     xw, keyw = seg(variables, x0, key0, ts[: chunk + 1])
     float(jnp.sum(xw))  # scalar sync: compile + first dispatch done
+    primary_compile_s = time.time() - t_compile0
     t0 = time.time()
     seg2 = ts[chunk : 2 * chunk + 1] if steps > chunk else ts[: chunk + 1]
     xw2, _ = seg(variables, xw, keyw, seg2)
@@ -244,17 +246,30 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     # throughput, the reflow few-step lane (diffusion/flow.py; quality
     # protocol tools/flow_quality_check.sh). Same network graph — only the
     # scan wrapper differs — so with a warm persistent cache this costs
-    # seconds; the generous margin keeps a cold-cache driver run in budget.
+    # seconds. Compile margin is gated on EVIDENCE of a warm cache: if the
+    # primary segment compile was itself warm (<60 s), assume the flow
+    # graph's cache entry is warm too and budget 90 s; on a cold cache,
+    # compiles through the tunneled backend take 2-20 min (CLAUDE.md), so
+    # require the full cold margin rather than a flat 240 s that the
+    # compile alone could blow past after the headline already printed.
     flow_cost = est_trial / steps  # one net call per image
+    flow_compile_margin = 90.0 if primary_compile_s < 60.0 else 1500.0
     if (mesh is None and steps == STEPS
-            and budget_s - (time.time() - t_start) > 240 + flow_cost * 10):
+            and budget_s - (time.time() - t_start)
+            > flow_compile_margin + flow_cost * 10):
         cfg_flow = Config()
         cfg_flow.diffusion.timestep_type = "flow"
         flow = build_diffusion(cfg_flow, model)
         fn1 = jax.jit(
             lambda v, k: flow.sample(v, k, batch_size=batch, num_steps=1)
         )
-        float(jnp.sum(fn1(variables, jax.random.key(70))[0, 0, 0]))  # compile
+        xf = fn1(variables, jax.random.key(70))
+        float(jnp.sum(xf[0, 0, 0]))  # compile + first dispatch
+        # untimed sanity transfer, mirroring the primary trials: a NaN
+        # 1-step graph must not report a throughput headline
+        xfn = np.asarray(xf[:2], dtype=np.float32)
+        assert np.isfinite(xfn).all(), "flow euler-1: non-finite samples"
+        del xf, xfn
         REPS = 8
         fts = []
         for trial in range(2):

@@ -91,6 +91,13 @@ class TrainingConfig:
     # +10.6% b256 sampling (round 3). False forces fp32 (torch autocast
     # parity); fp32 models (goldens, validate_pretrained) are always fp32.
     gn_bf16: bool = True
+    # bf16-cotangent policy (training/step.py make_train_step grad_dtype):
+    # cast float params to bf16 before differentiation so the whole backward
+    # (cotangents + gradient tree) runs in bf16, casting grads back to fp32
+    # only at the optimizer update (fp32 master params + fp32 Adam state).
+    # Halves grad HBM traffic — targets the W2C fp32-grad-padding cost.
+    # Default off pending the device A/B (tools/probe_trainstep.py gradbf16).
+    grad_bf16: bool = False
 
 
 @dataclass

@@ -137,10 +137,10 @@ def fused_group_norm_silu(
         out_shape=jax.ShapeDtypeStruct((B, rows, Cp), x.dtype),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec((1, 2, Cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((rows, Cp), x.dtype),
             pltpu.SemaphoreType.DMA(()),

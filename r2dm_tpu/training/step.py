@@ -44,6 +44,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_cfg: EMAConfig,
     dropout: float = 0.0,
+    grad_dtype=None,
 ):
     """Returns ``train_step(state, x_0, key, loss_mask) -> (state, metrics)``.
 
@@ -52,6 +53,16 @@ def make_train_step(
     threaded into the network (training-mode stochasticity; sampling stays
     deterministic). Metrics mirror the reference's logged scalars
     (train.py:273-277): loss, grad norm, ema decay.
+
+    ``grad_dtype`` (e.g. ``jnp.bfloat16``) enables a low-precision-cotangent
+    policy: float params are cast to ``grad_dtype`` BEFORE differentiation, so
+    every cotangent through the network (and the gradient tree itself) is
+    ``grad_dtype``; gradients are cast back to the master-param dtype right
+    before the optimizer update, which (with fp32 master params + fp32
+    optimizer state) keeps Adam accumulation full-precision. Halves backward
+    HBM traffic for grads — the W2C layout doubles fp32 grad padding, which
+    this recovers. Off by default; see tools/probe_trainstep.py case
+    ``gradbf16`` for the measured verdict.
     """
 
     def train_step(state: TrainState, x_0, key, loss_mask=None):
@@ -68,7 +79,19 @@ def make_train_step(
                 variables, x_0, key, loss_mask=loss_mask, model_kwargs=model_kwargs
             )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if grad_dtype is not None:
+            cast_in = jax.tree.map(
+                lambda p: p.astype(grad_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                state.params,
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(cast_in)
+            grads = jax.tree.map(
+                lambda g, p: g.astype(p.dtype), grads, state.params
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_step = state.step + 1

@@ -90,9 +90,12 @@ def test_fullshape_train_step_parity(config_h_training, mesh_shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_fullshape_sampling_segment_parity():
-    """A 2-step sampling segment of the NHWC serving graph, batch-sharded
-    over (8,), must equal the single-device segment bitwise-ish at 64x1024."""
+@pytest.mark.parametrize("mesh_shape", [(8,), (4, 2)], ids=["dp8", "dp4xsp2"])
+def test_fullshape_sampling_segment_parity(mesh_shape):
+    """A 2-step sampling segment of the NHWC serving graph, sharded over the
+    mesh, must equal the single-device segment at 64x1024. The (4,2) leg
+    shards the azimuth (W) axis, so GSPMD halo exchange through ring convs,
+    FIR resamples, and the 1024-token attention runs at the real shapes."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     from functools import partial
@@ -127,9 +130,10 @@ def test_fullshape_sampling_segment_parity():
 
     y_single, _ = jax.jit(ddpm.sample_segment)(variables, x, key, ts)
 
-    mesh = make_mesh((8,))
+    mesh = make_mesh(mesh_shape)
+    w = "width" if "width" in mesh.axis_names else None
     rep = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P("data", None, None, None))
+    sharded = NamedSharding(mesh, P("data", None, w, None))
     seg = jax.jit(
         partial(ddpm.sample_segment),
         in_shardings=(rep, sharded, rep, rep),
@@ -143,10 +147,26 @@ def test_fullshape_sampling_segment_parity():
     # associate differently; the segment then divides by small schedule
     # alphas, amplifying ~1e-7/op drift to ~1e-3 on isolated elements
     # (measured: 0.03% of elements at 2.5e-3 after the 2-D fused-FIR
-    # lowering landed). A real partitioning/halo bug corrupts whole
-    # boundary stripes with O(1) errors, so assert the difference is both
-    # SPARSE and SMALL rather than elementwise-tight.
+    # lowering landed). That noise is SPARSE and spatially UNIFORM. A real
+    # partitioning/halo bug is the opposite — O(1) errors lighting whole
+    # azimuth columns at shard boundaries (or whole images on the data
+    # axis) — so beyond the global sparse/small bound we assert structure:
+    # no single W-column and no single image may concentrate >1e-3 errors
+    # (reassociation expects ~0.3 such elements per 1024-element column;
+    # corruption lights ~100% of one — the 5% cap separates the two by
+    # construction, VERDICT r3 item 6).
     diff = np.abs(np.asarray(y_mesh) - np.asarray(y_single))
     frac_loose = float((diff > 2e-5).mean())
     assert frac_loose < 5e-3, f"{frac_loose:.2%} of elements exceed 2e-5"
     assert float(diff.max()) < 1e-2, float(diff.max())
+    big = diff > 1e-3
+    col_frac = big.mean(axis=(0, 1, 3))  # per-W-column over (B, H, C)
+    assert float(col_frac.max()) < 0.05, (
+        f"azimuth column {int(col_frac.argmax())} has "
+        f"{col_frac.max():.1%} elements >1e-3 — stripe corruption"
+    )
+    img_frac = big.mean(axis=(1, 2, 3))  # per-image
+    assert float(img_frac.max()) < 0.05, (
+        f"image {int(img_frac.argmax())} has "
+        f"{img_frac.max():.1%} elements >1e-3 — per-shard corruption"
+    )

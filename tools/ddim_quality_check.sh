@@ -7,6 +7,12 @@
 # are NOT comparable to the paper — only the few-step-vs-256 GAP on identical
 # seeds/extractors is meaningful (pipeline-relative quality).
 #
+# Caching is validated, not filename-based: the trained checkpoint counts
+# only with a .train_done marker (a preemption checkpoint from an aborted
+# run must NOT be reused — this bit a round-4 run); a sample dir counts
+# only when its meta.json matches the requested N/steps/mode; evaluate is
+# skipped when an eval JSON newer than the sample dir's meta exists.
+#
 # Usage: bash tools/ddim_quality_check.sh [workdir] [num_samples]
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -14,7 +20,8 @@ WORK=${1:-/tmp/r2dm_ddim_quality}
 N=${2:-64}
 mkdir -p "$WORK"
 
-if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
+if [ ! -f "$WORK/ckpt/.train_done" ]; then
+  rm -rf "$WORK/ckpt"  # drop partial/preempted checkpoints
   python train.py \
     --data.dataset synthetic \
     --training.num_steps 600 \
@@ -22,21 +29,38 @@ if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
     --training.steps_save_model 600 \
     --training.steps_save_image 1000000 \
     --training.output_dir "$WORK/ckpt"
+  # train.py exits 0 on preemption BY DESIGN (pod-maintenance semantics),
+  # so verify the checkpoint actually reached the final step before
+  # marking it reusable
+  python -c "
+from r2dm_tpu.checkpoint import load_checkpoint
+import sys
+step = load_checkpoint('$WORK/ckpt/checkpoint.msgpack')['global_step']
+sys.exit(0 if step >= 600 else 1)
+" || { echo 'checkpoint preempted before step 600; rerun to retrain' >&2; exit 1; }
+  touch "$WORK/ckpt/.train_done"
 fi
 
 for spec in "256 ddpm" "32 ddim" "32 dpmpp_2m"; do
   set -- $spec
   steps=$1; mode=$2
   out="$WORK/samples_${mode}${steps}"
-  if [ ! -d "$out" ] || [ "$(ls "$out" | grep -c npz)" -lt "$N" ]; then
+  meta="{\"n\": $N, \"steps\": $steps, \"mode\": \"$mode\"}"
+  if [ ! -f "$out/meta.json" ] || [ "$(cat "$out/meta.json")" != "$meta" ]; then
+    rm -rf "$out"
     python sample_and_save.py \
       --ckpt "$WORK/ckpt/checkpoint.msgpack" \
       --output_dir "$out" --num_samples "$N" --batch_size 64 \
       --num_steps "$steps" --mode "$mode"
+    printf '%s' "$meta" > "$out/meta.json"
   fi
-  python evaluate.py \
-    --ckpt "$WORK/ckpt/checkpoint.msgpack" \
-    --sample_dir "$out" --allow_random_extractors
+  # skip evaluate when a result newer than this sample set already exists
+  if [ -z "$(find "$WORK" -maxdepth 1 -name "samples_${mode}${steps}_*.json" \
+             -newer "$out/meta.json" -print -quit)" ]; then
+    python evaluate.py \
+      --ckpt "$WORK/ckpt/checkpoint.msgpack" \
+      --sample_dir "$out" --allow_random_extractors
+  fi
 done
 
 python - "$WORK" <<'EOF'

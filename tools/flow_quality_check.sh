@@ -10,6 +10,12 @@
 # of a working reflow: reflowed euler-1/2 rows close most of the gap
 # between teacher euler-1/2 and teacher euler-32.
 #
+# Caching is validated, not filename-based (see ddim_quality_check.sh):
+# .train_done gates checkpoint reuse (preemption checkpoints don't count),
+# sample dirs carry a meta.json with N/steps/mode that invalidates the
+# cache on mismatch, and evaluate is skipped only when an eval JSON newer
+# than the sample dir's meta exists.
+#
 # Usage: bash tools/flow_quality_check.sh [workdir] [num_samples]
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -17,7 +23,8 @@ WORK=${1:-/tmp/r2dm_flow_quality}
 N=${2:-64}
 mkdir -p "$WORK"
 
-if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
+if [ ! -f "$WORK/ckpt/.train_done" ]; then
+  rm -rf "$WORK/ckpt"  # drop partial/preempted checkpoints
   python train.py \
     --data.dataset synthetic \
     --diffusion.timestep_type flow \
@@ -26,6 +33,16 @@ if [ ! -f "$WORK/ckpt/checkpoint.msgpack" ]; then
     --training.steps_save_model 600 \
     --training.steps_save_image 1000000 \
     --training.output_dir "$WORK/ckpt"
+  # train.py exits 0 on preemption BY DESIGN (pod-maintenance semantics),
+  # so verify the checkpoint actually reached the final step before
+  # marking it reusable
+  python -c "
+from r2dm_tpu.checkpoint import load_checkpoint
+import sys
+step = load_checkpoint('$WORK/ckpt/checkpoint.msgpack')['global_step']
+sys.exit(0 if step >= 600 else 1)
+" || { echo 'checkpoint preempted before step 600; rerun to retrain' >&2; exit 1; }
+  touch "$WORK/ckpt/.train_done"
 fi
 
 if [ ! -f "$WORK/reflowed.msgpack" ]; then
@@ -38,15 +55,21 @@ fi
 sample_eval() {
   local ckpt=$1 tag=$2 steps=$3
   local out="$WORK/samples_${tag}"
-  if [ ! -d "$out" ] || [ "$(ls "$out" | grep -c npz)" -lt "$N" ]; then
+  local meta="{\"n\": $N, \"steps\": $steps, \"mode\": \"euler\"}"
+  if [ ! -f "$out/meta.json" ] || [ "$(cat "$out/meta.json")" != "$meta" ]; then
+    rm -rf "$out"
     python sample_and_save.py \
       --ckpt "$ckpt" \
       --output_dir "$out" --num_samples "$N" --batch_size 64 \
       --num_steps "$steps" --mode euler
+    printf '%s' "$meta" > "$out/meta.json"
   fi
-  python evaluate.py \
-    --ckpt "$WORK/ckpt/checkpoint.msgpack" \
-    --sample_dir "$out" --allow_random_extractors
+  if [ -z "$(find "$WORK" -maxdepth 1 -name "samples_${tag}_*.json" \
+             -newer "$out/meta.json" -print -quit)" ]; then
+    python evaluate.py \
+      --ckpt "$WORK/ckpt/checkpoint.msgpack" \
+      --sample_dir "$out" --allow_random_extractors
+  fi
 }
 
 sample_eval "$WORK/ckpt/checkpoint.msgpack" teacher_euler32 32

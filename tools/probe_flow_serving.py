@@ -43,6 +43,13 @@ def main(argv=None):
     # at the config-H defaults on the chip)
     p.add_argument("--base", type=int, default=None)
     p.add_argument("--resolution", type=str, default=None, help="HxW")
+    p.add_argument(
+        "--ddpm_ms_per_img", type=float, default=None,
+        help="measured 256-step DDPM per-image cost in ms (e.g. from the "
+        "bench headline: 1000*batch/img_per_s/batch). When given, the "
+        "summary reports a real measured speedup; otherwise only the "
+        "call-count ratio is printed.",
+    )
     args = p.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/r2dm_tpu_jax_cache")
@@ -115,19 +122,24 @@ def main(argv=None):
         results[rec["case"]] = rec
         print(json.dumps(rec), flush=True)
 
-    ddpm_cost_ms = 256 * results["euler-1"]["ms_per_image_call"]
-    print(
-        json.dumps(
-            {
-                "summary": "flow few-step vs 256-call DDPM chain (same net)",
-                "euler1_img_per_s": results["euler-1"]["img_per_s"],
-                "speedup_vs_256call_chain": round(
-                    ddpm_cost_ms / results["euler-1"]["ms_per_image"], 1
-                ),
-            }
+    # NOTE: 256 * euler-1 ms_per_image_call is a CALL-COUNT ratio, not a
+    # measurement of the actual DDPM chain (which carries per-step schedule
+    # math / scan overhead the flow step lacks) — for euler-1 it is 256.0
+    # by construction. A real speedup needs the measured DDPM headline,
+    # passed via --ddpm_ms_per_img (from bench.py's img/s).
+    summary = {
+        "summary": "flow few-step vs 256-call DDPM chain (same net)",
+        "euler1_img_per_s": results["euler-1"]["img_per_s"],
+        "call_count_ratio_vs_256": round(
+            256 * results["euler-1"]["ms_per_image_call"]
+            / results["euler-1"]["ms_per_image"], 1
         ),
-        flush=True,
-    )
+    }
+    if args.ddpm_ms_per_img is not None:
+        summary["measured_speedup_vs_ddpm256"] = round(
+            args.ddpm_ms_per_img / results["euler-1"]["ms_per_image"], 1
+        )
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,10 @@ Cases:
   gnbf16  : GN/AdaGN FMA+SiLU computed in bf16 (flag A/B; fwd numerics
             change by one bf16 rounding)
   rematl1 : remat level-1 residual blocks (recompute in backward)
+  gradbf16      : bf16-cotangent policy (step.py grad_dtype=bf16 — bf16
+                  backward, fp32 master params + Adam state), W2C layout
+  gradbf16_nhwc : same with width_merge_l1 off (VERDICT r3 item 4 asks
+                  for the A/B on both layouts)
 Prints one JSON line per case.
 """
 
@@ -52,7 +56,7 @@ def build(case: str, batch: int):
     )
 
     cfg = Config()
-    width_merge = case != "nhwc"
+    width_merge = case not in ("nhwc", "gradbf16_nhwc")
     kwargs = {}
     if case == "nol1":
         from dataclasses import replace
@@ -75,7 +79,10 @@ def build(case: str, batch: int):
     ddpm = ContinuousTimeGaussianDiffusion(model=model, noise_schedule="cosine")
     tx, _ = make_optimizer(TrainingConfig(lr=1e-4, lr_warmup_steps=10, num_steps=1000))
     state = init_train_state(variables["params"], variables["buffers"], tx)
-    step_fn = make_train_step(ddpm, tx, EMAConfig())
+    grad_dtype = (
+        jnp.bfloat16 if case in ("gradbf16", "gradbf16_nhwc") else None
+    )
+    step_fn = make_train_step(ddpm, tx, EMAConfig(), grad_dtype=grad_dtype)
     x_0 = jax.random.normal(jax.random.key(1), (batch, 64, 1024, 2))
     return jax.jit(step_fn), state, x_0
 

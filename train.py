@@ -199,7 +199,13 @@ def train(cfg: config_lib.Config) -> None:
         tx,
         EMAConfig(beta=tcfg.ema_decay, update_every=tcfg.ema_update_every),
         dropout=cfg.model.dropout,
+        grad_dtype=jnp.bfloat16 if tcfg.grad_bf16 else None,
     )
+    if tcfg.grad_bf16 and tcfg.mixed_precision != "bf16":
+        raise ValueError(
+            "training.grad_bf16 requires mixed_precision='bf16': with fp32 "
+            "compute the bf16-cast params would dtype-mismatch the convs"
+        )
 
     def full_step(state, raw_batch, key, loss_mask=None):
         x_0 = preprocess_batch(

@@ -9,8 +9,11 @@ Cases:
   base    : training default (W2C level 1)
   nhwc    : width_merge_l1 off
   nol1    : num_residual_blocks=(0,3,3,3) — attributes level-1 share
-  gnbf16  : GN/AdaGN FMA+SiLU computed in bf16 (flag A/B; fwd numerics
+  gnbf16  : GN/AdaGN FMA+SiLU forced to bf16 (flag A/B; fwd numerics
             change by one bf16 rounding)
+  gnfp32  : GN/AdaGN FMA+SiLU forced to fp32 (the pre-round-3 behavior;
+            every other case runs the shipping default
+            GN_ACT_COMPUTE_DTYPE=None = activation dtype)
   rematl1 : remat level-1 residual blocks (recompute in backward)
   gradbf16      : bf16-cotangent policy (step.py grad_dtype=bf16 — bf16
                   backward, fp32 master params + Adam state), W2C layout
@@ -98,12 +101,15 @@ def main():
 
     from r2dm_tpu.models import layers
 
+    gn_default = layers.GN_ACT_COMPUTE_DTYPE  # shipping default (None)
     for case in args.cases.split(","):
         case = case.strip()
         if case == "gnbf16":
             layers.GN_ACT_COMPUTE_DTYPE = jnp.bfloat16
-        else:
+        elif case == "gnfp32":
             layers.GN_ACT_COMPUTE_DTYPE = jnp.float32
+        else:
+            layers.GN_ACT_COMPUTE_DTYPE = gn_default
         try:
             jit_fn, state, x_0 = build(case, args.batch)
             dt = time_step(jit_fn, state, x_0, args.reps)
@@ -121,7 +127,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — report per-case OOM/compile errors
             print(json.dumps({"case": case, "error": repr(e)[:300]}), flush=True)
         finally:
-            layers.GN_ACT_COMPUTE_DTYPE = jnp.float32
+            layers.GN_ACT_COMPUTE_DTYPE = gn_default
 
 
 if __name__ == "__main__":

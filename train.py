@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import signal
+import threading
 import time
 
 import jax
@@ -59,6 +61,53 @@ def _setup_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+
+
+def _device_batch_iter(loader, mesh, keys, prefetch: int = 2):
+    """Host->device pipeline stage: convert + shard the NEXT batch in a
+    background thread while the device executes the current step. Doing
+    ``jnp.asarray`` + ``shard_batch`` inline in the hot loop serializes the
+    host->device transfer with dispatch; on a slow PCIe/tunnel link that
+    idles the chip between steps. Transfers ONLY ``keys`` — the planes the
+    jitted step consumes: the loader's xyz/mask planes are unused by
+    ``preprocess_batch`` (the loss is unmasked, reference parity) and at
+    b32 64x1024 they triple the per-step transfer (48 MB -> 16 MB)."""
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for raw in loader:
+                batch = shard_batch(
+                    mesh, {k: jnp.asarray(raw[k]) for k in keys}
+                )
+                if not put(batch):
+                    return
+        except BaseException as exc:  # surface worker errors, don't hang
+            put(exc)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def gen():
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    return gen()
 
 
 def train(cfg: config_lib.Config) -> None:
@@ -271,13 +320,15 @@ def train(cfg: config_lib.Config) -> None:
     # ------------------------------------------------------------ hot loop
     t0 = time.time()
     global_step = start_step
-    data_iter = iter(loader)
+    batch_keys = []
+    if cfg.data.train_depth:
+        batch_keys.append("depth")
+    if cfg.data.train_reflectance:
+        batch_keys.append("reflectance")
+    data_iter = _device_batch_iter(loader, mesh, batch_keys)
     try:
         while global_step < tcfg.num_steps and not should_stop():
-            raw = next(data_iter)
-            batch = shard_batch(
-                mesh, {k: jnp.asarray(v) for k, v in raw.items() if k != "sample_id"}
-            )
+            batch = next(data_iter)
             step_key = jax.random.fold_in(root_key, global_step)
             if tcfg.profile_dir and global_step - start_step == 10:
                 jax.profiler.start_trace(tcfg.profile_dir)
@@ -339,6 +390,7 @@ def train(cfg: config_lib.Config) -> None:
         # programmatic callers keep their Ctrl-C/SIGTERM semantics
         for _sig, _h in prev_handlers.items():
             signal.signal(_sig, _h)
+        data_iter.close()  # stop the prefetch thread (and its loader thread)
 
 
 if __name__ == "__main__":

@@ -24,11 +24,9 @@ Usage:
 
 import argparse
 import sys
+from functools import partial
 
 sys.path.insert(0, ".")
-
-import numpy as np
-
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -69,18 +67,26 @@ def main(argv=None):
         key, sub = split_key(key)
         eps = normal(sub, (args.batch_size, *flow.sampling_shape))
         x, _ = flow.sample_segment(variables, eps, key, ts)
-        return eps, x
+        return eps.astype(jnp.bfloat16), x.astype(jnp.bfloat16)
 
-    eps_all, x_all = [], []
+    # Pairs stay DEVICE-resident end to end: pulling them to host and
+    # re-uploading a minibatch every step would push ~16 MB/step through
+    # the (slow) axon tunnel at config-H — at 1000 steps that transfer,
+    # not the MXU, would dominate the reflow. They are stored bf16: the
+    # fine-tune consumes them through a bf16 net anyway, and fp32 storage
+    # (1024 config-H pairs = 1 GB + a concat-time copy) tipped the b32
+    # backward over this chip's 15.75 GB HBM (measured OOM, round 4).
+    eps_parts, x_parts = [], []
     base = jax.random.key(args.seed)
     for i in range(0, args.num_pairs, args.batch_size):
         eps, x = gen_pair(jax.random.fold_in(base, i))
-        eps_all.append(np.asarray(eps))
-        x_all.append(np.asarray(x))
+        eps_parts.append(eps)
+        x_parts.append(x)
         print(f"pairs [{min(i + args.batch_size, args.num_pairs)}"
               f"/{args.num_pairs}]", flush=True)
-    eps_all = np.concatenate(eps_all)[: args.num_pairs]
-    x_all = np.concatenate(x_all)[: args.num_pairs]
+    eps_all = jnp.concatenate(eps_parts)[: args.num_pairs]
+    x_all = jnp.concatenate(x_parts)[: args.num_pairs]
+    del eps_parts, x_parts
 
     # ---- 2. fine-tune the velocity on the deterministic coupling ---------
     tx = optax.adamw(args.lr, b1=0.9, b2=0.99, weight_decay=0.0)
@@ -88,10 +94,21 @@ def main(argv=None):
     opt_state = tx.init(params)
     buffers = variables.get("buffers", {})
 
-    @jax.jit
-    def reflow_step(params, opt_state, x_pair, eps_pair, key):
+    # params/opt_state are donated so the update happens in place — without
+    # donation the step double-buffers ~0.5 GB of fp32 state next to the
+    # b32 backward, which is exactly the margin the chip doesn't have.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def reflow_step(params, opt_state, x_data, eps_data, key):
+        # minibatch selection happens ON DEVICE (gather), so the per-step
+        # host->device traffic is one key
+        key, idx_key = split_key(key)
         t_key, _ = split_key(key)
-        t = jax.random.uniform(t_key, (x_pair.shape[0],), jnp.float32)
+        idx = jax.random.randint(
+            idx_key, (args.batch_size,), 0, x_data.shape[0]
+        )
+        x_pair = jnp.take(x_data, idx, axis=0).astype(jnp.float32)
+        eps_pair = jnp.take(eps_data, idx, axis=0).astype(jnp.float32)
+        t = jax.random.uniform(t_key, (args.batch_size,), jnp.float32)
 
         def loss_fn(p):
             v = {"params": p}
@@ -104,12 +121,9 @@ def main(argv=None):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(args.seed)
     for step in range(args.train_steps):
-        idx = rng.integers(0, args.num_pairs, size=args.batch_size)
         params, opt_state, loss = reflow_step(
-            params, opt_state,
-            jnp.asarray(x_all[idx]), jnp.asarray(eps_all[idx]),
+            params, opt_state, x_all, eps_all,
             jax.random.fold_in(jax.random.key(args.seed + 1), step),
         )
         if step % 50 == 0 or step == args.train_steps - 1:

@@ -17,21 +17,40 @@
 # than the sample dir's meta exists.
 #
 # Usage: bash tools/flow_quality_check.sh [workdir] [num_samples]
+#
+# R2DM_FLOWQ_SMOKE=1 shrinks every knob (16x128/base-8 model, toy step
+# counts) so the SAME script path — train gate, reflow, meta-validated
+# sample cache, eval-skip logic, summary table — can be verified end-to-end
+# on CPU before spending a device window on the config-H run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/r2dm_flow_quality}
 N=${2:-64}
 mkdir -p "$WORK"
 
+if [ "${R2DM_FLOWQ_SMOKE:-}" = "1" ]; then
+  TRAIN_STEPS=60; TRAIN_BATCH=8; SAMPLE_BATCH=8
+  REFLOW_ARGS="--num_pairs 64 --teacher_steps 8 --batch_size 8 --train_steps 30"
+  SMALL_ARGS="--data.projection spherical-256 --data.resolution 16,128 \
+    --model.base_channels 8 --model.channel_multiplier 1,2,2,2 \
+    --model.num_residual_blocks 1,1,1,1 --model.gn_num_groups 4 \
+    --model.attn_num_heads 2"
+else
+  TRAIN_STEPS=600; TRAIN_BATCH=32; SAMPLE_BATCH=64
+  REFLOW_ARGS="--num_pairs 1024 --teacher_steps 32 --batch_size 32 --train_steps 1000"
+  SMALL_ARGS=""
+fi
+
 if [ ! -f "$WORK/ckpt/.train_done" ]; then
   rm -rf "$WORK/ckpt"  # drop partial/preempted checkpoints
   python train.py \
     --data.dataset synthetic \
     --diffusion.timestep_type flow \
-    --training.num_steps 600 \
-    --training.batch_size_train 32 \
-    --training.steps_save_model 600 \
+    --training.num_steps "$TRAIN_STEPS" \
+    --training.batch_size_train "$TRAIN_BATCH" \
+    --training.steps_save_model "$TRAIN_STEPS" \
     --training.steps_save_image 1000000 \
+    $SMALL_ARGS \
     --training.output_dir "$WORK/ckpt"
   # train.py exits 0 on preemption BY DESIGN (pod-maintenance semantics),
   # so verify the checkpoint actually reached the final step before
@@ -40,8 +59,8 @@ if [ ! -f "$WORK/ckpt/.train_done" ]; then
 from r2dm_tpu.checkpoint import load_checkpoint
 import sys
 step = load_checkpoint('$WORK/ckpt/checkpoint.msgpack')['global_step']
-sys.exit(0 if step >= 600 else 1)
-" || { echo 'checkpoint preempted before step 600; rerun to retrain' >&2; exit 1; }
+sys.exit(0 if step >= $TRAIN_STEPS else 1)
+" || { echo "checkpoint preempted before step $TRAIN_STEPS; rerun to retrain" >&2; exit 1; }
   touch "$WORK/ckpt/.train_done"
 fi
 
@@ -49,7 +68,7 @@ if [ ! -f "$WORK/reflowed.msgpack" ]; then
   python tools/reflow.py \
     --ckpt "$WORK/ckpt/checkpoint.msgpack" \
     --out "$WORK/reflowed.msgpack" \
-    --num_pairs 1024 --teacher_steps 32 --batch_size 32 --train_steps 1000
+    $REFLOW_ARGS
 fi
 
 sample_eval() {
@@ -60,7 +79,7 @@ sample_eval() {
     rm -rf "$out"
     python sample_and_save.py \
       --ckpt "$ckpt" \
-      --output_dir "$out" --num_samples "$N" --batch_size 64 \
+      --output_dir "$out" --num_samples "$N" --batch_size "$SAMPLE_BATCH" \
       --num_steps "$steps" --mode euler
     printf '%s' "$meta" > "$out/meta.json"
   fi

@@ -44,6 +44,11 @@ def main(argv=None):
     p.add_argument("--base", type=int, default=None)
     p.add_argument("--resolution", type=str, default=None, help="HxW")
     p.add_argument(
+        "--cases", type=str, default="euler-1,euler-2,euler-4,euler-8,midpoint-1",
+        help="comma-separated mode-steps cases to run (e.g. 'euler-1'); "
+        "trims compile cost when only one point is needed",
+    )
+    p.add_argument(
         "--ddpm_ms_per_img", type=float, default=None,
         help="measured 256-step DDPM per-image cost in ms (e.g. from the "
         "bench headline: 1000*batch/img_per_s/batch). When given, the "
@@ -82,7 +87,10 @@ def main(argv=None):
     }
     diffusion = build_diffusion(cfg, model)
 
-    cases = [("euler", 1), ("euler", 2), ("euler", 4), ("euler", 8), ("midpoint", 1)]
+    cases = []
+    for tok in args.cases.split(","):
+        mode, steps = tok.strip().rsplit("-", 1)
+        cases.append((mode, int(steps)))
     results = {}
     for mode, steps in cases:
         fn = jax.jit(
@@ -127,19 +135,21 @@ def main(argv=None):
     # math / scan overhead the flow step lacks) — for euler-1 it is 256.0
     # by construction. A real speedup needs the measured DDPM headline,
     # passed via --ddpm_ms_per_img (from bench.py's img/s).
-    summary = {
-        "summary": "flow few-step vs 256-call DDPM chain (same net)",
-        "euler1_img_per_s": results["euler-1"]["img_per_s"],
-        "call_count_ratio_vs_256": round(
-            256 * results["euler-1"]["ms_per_image_call"]
-            / results["euler-1"]["ms_per_image"], 1
-        ),
-    }
-    if args.ddpm_ms_per_img is not None:
-        summary["measured_speedup_vs_ddpm256"] = round(
-            args.ddpm_ms_per_img / results["euler-1"]["ms_per_image"], 1
-        )
-    print(json.dumps(summary), flush=True)
+    if "euler-1" in results:
+        summary = {
+            "summary": "flow few-step vs 256-call DDPM chain (same net)",
+            "batch": args.batch,
+            "euler1_img_per_s": results["euler-1"]["img_per_s"],
+            "call_count_ratio_vs_256": round(
+                256 * results["euler-1"]["ms_per_image_call"]
+                / results["euler-1"]["ms_per_image"], 1
+            ),
+        }
+        if args.ddpm_ms_per_img is not None:
+            summary["measured_speedup_vs_ddpm256"] = round(
+                args.ddpm_ms_per_img / results["euler-1"]["ms_per_image"], 1
+            )
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

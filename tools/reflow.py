@@ -127,7 +127,10 @@ def main(argv=None):
             jax.random.fold_in(jax.random.key(args.seed + 1), step),
         )
         if step % 50 == 0 or step == args.train_steps - 1:
-            print(f"reflow step {step}: loss {float(loss):.4f}", flush=True)
+            # .2e, not .4f: a converged teacher's reflow loss sits below
+            # 5e-5 (the paired-noise objective starts near its optimum),
+            # which a fixed-point format rounds to an alarming-looking 0.0000
+            print(f"reflow step {step}: loss {float(loss):.2e}", flush=True)
 
     # ---- 3. save (reference ckpt layout; EMA lane = the reflowed weights)
     weights = {"params": params, **({"buffers": buffers} if buffers else {})}

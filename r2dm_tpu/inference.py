@@ -219,10 +219,20 @@ class DDPM:
         mesh=None,
         progress: bool = False,
         progress_chunk: int = 32,
+        batch_chunk: Optional[int] = None,
     ) -> jnp.ndarray:
         """Generate scans; with ``mesh`` the batch is sharded over the mesh's
         'data' axis — XLA partitions the whole sampling scan across chips
         (the serving-side counterpart of the trainer's data parallelism).
+
+        Oversized batches auto-chunk along the batch axis too (the HBM
+        bound: a config-H net call fits 384 images/chip but OOMs at 512 —
+        quality/probe_flow_serving_20260819_b512_oom.txt) and run as
+        sequential sweet-spot-sized dispatches; ``batch_chunk`` forces a
+        chunk size (images per dispatch, a multiple of the mesh's data
+        axis when meshed). With ``seeds``/key batches the chunked result
+        is row-exact (row i is drawn from key i alone); a single key
+        derives independent per-chunk keys.
 
         ``progress=True`` (both continuous- and discrete-time, with or
         without ``return_all``): the chain runs as ``progress_chunk``-step
@@ -255,6 +265,37 @@ class DDPM:
                 "with 'euler'/'midpoint', Gaussian ones with "
                 "'ddpm'/'ddim'/'dpmpp_2m'"
             )
+        # ---- batch auto-chunking (HBM bound, measured at 64x1024: a single
+        # net call fits b384 but OOMs at b512 by 270 MB — the level-1
+        # activations alone are ~8 MB/image — while per-image throughput is
+        # flat beyond b256). Oversized serving batches run as sequential
+        # sweet-spot-sized chunks instead of OOMing.
+        hw = int(np.prod(self.sampling_shape[:-1]))
+        data_size = 1 if mesh is None else mesh.shape.get("data", 1)
+        if (batch_chunk is None
+                and (batch_size // max(data_size, 1)) * hw
+                > self.MAX_BATCH_PIXELS):
+            batch_chunk = max(1, self.BATCH_CHUNK_PIXELS // hw) * data_size
+        if batch_chunk is not None and batch_chunk < batch_size:
+            from .diffusion.base import is_key_batch
+
+            key = self._key(key, seeds)
+            outs = []
+            done = 0
+            while done < batch_size:
+                n = min(batch_chunk, batch_size - done)
+                sub = (key[done:done + n] if is_key_batch(key)
+                       else jax.random.fold_in(key, done))
+                outs.append(self.sample(
+                    n, num_steps, key=sub, mode=mode, ddim_eta=ddim_eta,
+                    return_all=return_all, data_format=data_format,
+                    mesh=mesh, progress=progress,
+                    progress_chunk=progress_chunk,
+                ))
+                done += n
+            # return_all layouts are (T, B, ...) — batch is axis 1 there
+            return jnp.concatenate(outs, axis=1 if return_all else 0)
+
         work = batch_size * num_steps * int(np.prod(self.sampling_shape[:-1]))
         auto_chunk = work >= self.AUTO_CHUNK_WORK
         if progress or auto_chunk:
@@ -318,6 +359,13 @@ class DDPM:
     # speed — comfortably under observed tunnel watchdogs while amortizing
     # dispatch overhead
     AUTO_CHUNK_WORK = 64 * 256 * 64 * 1024
+
+    # batch-axis chunking bounds (per device, in pixels = batch * H * W):
+    # MAX is the measured single-dispatch HBM fit at config-H on a 16 GB
+    # v5e (b384 fits; b512 OOMs by 270 MB), CHUNK is the measured
+    # throughput sweet spot (per-image cost is flat 256 -> 384)
+    MAX_BATCH_PIXELS = 384 * 64 * 1024
+    BATCH_CHUNK_PIXELS = 256 * 64 * 1024
 
     def _sample_progress(
         self, batch_size, num_steps, key, mode, ddim_eta, data_format, mesh,

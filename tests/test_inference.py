@@ -133,6 +133,51 @@ def test_auto_chunking_kicks_in_for_large_chains(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_batch_auto_chunking_row_exact(tiny_setup):
+    """Above MAX_BATCH_PIXELS per-device pixels, sample() must run the
+    batch as sequential chunks (the measured HBM bound: a config-H call
+    fits 384 images/chip, OOMs at 512). With per-sample seeds the chunked
+    result is row-exact (row i is drawn from key i alone)."""
+    cfg, model, variables = tiny_setup
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    seeds = [11, 12, 13, 14, 15]
+    a = ddpm.sample(batch_size=5, num_steps=3, seeds=seeds)
+    ddpm2 = DDPM(build_diffusion(cfg, model), variables, cfg)
+    ddpm2.MAX_BATCH_PIXELS = 2 * 16 * 64  # force the batch-chunk route
+    ddpm2.BATCH_CHUNK_PIXELS = 2 * 16 * 64  # chunks of 2 images
+    b = ddpm2.sample(batch_size=5, num_steps=3, seeds=seeds)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # explicit batch_chunk with return_all: batch is axis 1 there
+    c = ddpm.sample(batch_size=5, num_steps=3, seeds=seeds, return_all=True)
+    d = ddpm.sample(
+        batch_size=5, num_steps=3, seeds=seeds, return_all=True, batch_chunk=3
+    )
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+    # single key: per-chunk keys are derived; the call stays deterministic
+    e = ddpm2.sample(batch_size=5, num_steps=3, key=jax.random.key(0))
+    assert e.shape == (5, 2, 16, 64) and np.isfinite(np.asarray(e)).all()
+    f = ddpm2.sample(batch_size=5, num_steps=3, key=jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(f))
+
+
+def test_batch_chunking_mesh_parity(tiny_setup):
+    """Batch chunking composes with mesh serving: chunk sizes stay
+    multiples of the data axis and rows match the unchunked mesh run."""
+    from r2dm_tpu.parallel import make_mesh
+
+    cfg, model, variables = tiny_setup
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    mesh = make_mesh((2,))
+    seeds = list(range(20, 28))
+    kw = dict(batch_size=8, num_steps=3, seeds=seeds, data_format="NHWC")
+    a = ddpm.sample(mesh=mesh, **kw)
+    ddpm2 = DDPM(build_diffusion(cfg, model), variables, cfg)
+    ddpm2.MAX_BATCH_PIXELS = 16 * 64  # per-device bound -> chunking
+    ddpm2.BATCH_CHUNK_PIXELS = 2 * 16 * 64  # 2/device -> 4-image chunks
+    b = ddpm2.sample(mesh=mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_repaint_chunked_bit_identical(tiny_setup):
     """Chunked repaint (segment dispatches) must reproduce the monolithic
     T x r x j grid exactly — same key-split sequence (VERDICT r2 item 5)."""

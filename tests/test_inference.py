@@ -199,6 +199,27 @@ def test_repaint_chunked_bit_identical(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_repaint_batch_chunking_row_exact(tiny_setup):
+    """Repaint batch-axis chunking (same HBM bound as sample()) must be
+    row-exact with per-sample seeds, including a broadcast (batch-1) mask."""
+    cfg, model, variables = tiny_setup
+    known = jnp.zeros((5, 2, 16, 64)).at[:, :, :8].set(0.5)
+    mask = jnp.zeros((1, 2, 16, 64)).at[:, :, :8].set(1.0)
+    kwargs = dict(num_steps=4, num_resample_steps=2, seeds=[9, 10, 11, 12, 13])
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    a = ddpm.repaint(known, mask, **kwargs)
+    ddpm2 = DDPM(build_diffusion(cfg, model), variables, cfg)
+    ddpm2.MAX_BATCH_PIXELS = 2 * 16 * 64  # force batch chunking
+    ddpm2.BATCH_CHUNK_PIXELS = 2 * 16 * 64  # chunks of 2 rows
+    b = ddpm2.repaint(known, mask, **kwargs)
+    assert b.shape == a.shape == (5, 2, 16, 64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # per-sample mask slices along with the rows
+    mask5 = jnp.tile(mask, (5, 1, 1, 1))
+    c = ddpm2.repaint(known, mask5, **kwargs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_repaint_mesh_parity(tiny_setup):
     """repaint(mesh=...) on (data,) and (data, width) meshes must agree with
     the unsharded result, for both the monolithic and chunked routes."""

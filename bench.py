@@ -179,13 +179,25 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     est_trial = seg_time * (steps / chunk)
     del x0, xw, xw2
 
-    # ---- timed full-chain trials within the remaining budget
+    # ---- timed full-chain trials within the remaining budget.
+    # Reserve budget for the secondary headlines once the statistical
+    # minimum (2 trials) is in: a 3rd/4th primary trial adds only stdev
+    # confidence, while the DDIM-32 and flow-euler-1 keys are information
+    # the driver bench line otherwise loses entirely (observed under the
+    # default 460 s budget: 3 trials fit but squeezed both blocks out).
+    secondary_reserve = 0.0
+    if mesh is None and steps == STEPS and primary_compile_s < 120.0:
+        # warm cache (see _secondary_headlines): flow margin+cost, then ddim
+        secondary_reserve = 60.0 + (est_trial / steps) * 10
+        secondary_reserve += 90.0 + est_trial * (DDIM_STEPS / steps) * 3.5
     times = []
     sane = False
     for trial in range(MAX_TRIALS):
         remaining = budget_s - (time.time() - t_start)
         # always run 1 trial; stop early only when another clearly won't fit
         if times and remaining < est_trial * 1.15:
+            break
+        if len(times) >= 2 and remaining < est_trial * 1.15 + secondary_reserve:
             break
         t0 = time.time()
         x = chain(trial + 1)
@@ -225,38 +237,55 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
         ),
     }
 
-    # ---- secondary headline: 32-step DDIM serving throughput (if budget)
-    ddim_cost = est_trial * (DDIM_STEPS / steps)
-    if (mesh is None and steps == STEPS
-            and budget_s - (time.time() - t_start) > ddim_cost * 3.5):
-        seg_ddim = jit_seg("ddim")
-        ts32 = jnp.linspace(1.0, 0.0, DDIM_STEPS + 1, dtype=jnp.float32)
-        float(jnp.sum(chain(90, seg_ddim, ts32, DDIM_STEPS)))  # compile+warm
-        dts = []
-        for trial in range(2):
-            t0 = time.time()
-            float(jnp.sum(chain(91 + trial, seg_ddim, ts32, DDIM_STEPS)))
-            dts.append(time.time() - t0)
-        ddt = statistics.median(dts)
-        result["ddim32_img_per_s"] = round(batch / ddt, 4)
-        result["ddim32_seconds_median"] = round(ddt, 3)
-        result["ddim32_trials"] = len(dts)
+    # The primary headline is in the bag: from here on, a failure in a
+    # secondary block must degrade to a partial line, never lose the run
+    # (the driver parses whatever this process prints; an unprinted crash
+    # after 6 minutes of trials would record nothing).
+    try:
+        _secondary_headlines(
+            result, mesh, steps, batch, budget_s, t_start, est_trial,
+            primary_compile_s, jit_seg, chain, model, variables,
+        )
+    except Exception as e:  # noqa: BLE001 — report, don't lose the line
+        result["secondary_error"] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps(result))
 
-    # ---- tertiary headline: 1-step rectified-flow (euler) serving
+
+def _secondary_headlines(
+    result, mesh, steps, batch, budget_s, t_start, est_trial,
+    primary_compile_s, jit_seg, chain, model, variables,
+):
+    """Flow-euler-1 and DDIM-32 serving keys, budget permitting.
+
+    Ordering and gates: the flow key runs FIRST — it is the flagship
+    beyond-reference serving headline and costs ~1/3 of the ddim block
+    (one net call per image vs 3.5 32-step chains). Compile margins are
+    gated on EVIDENCE of a warm persistent cache: the primary warmup
+    (model.init + segment compile + first dispatch) measures ~70-90 s
+    when every XLA program is already cached on this host and 300+ s
+    cold, so < 120 s distinguishes the two regimes (< 60 s misread warm
+    runs as cold and skipped everything). On a cold cache a single
+    compile through the tunneled helper takes 2-20 min (an observed cold
+    ddim-segment compile took ~7 min and blew the budget AFTER a
+    cost-only gate had passed), so cold runs demand a 1500 s budget.
+    """
+    from r2dm_tpu import Config
+    from r2dm_tpu.inference import build_diffusion
+
+    if mesh is not None or steps != STEPS:
+        return
+    warm = primary_compile_s < 120.0
+
+    # ---- secondary headline: 1-step rectified-flow (euler) serving
     # throughput, the reflow few-step lane (diffusion/flow.py; quality
-    # protocol tools/flow_quality_check.sh). Same network graph — only the
-    # scan wrapper differs — so with a warm persistent cache this costs
-    # seconds. Compile margin is gated on EVIDENCE of a warm cache: if the
-    # primary segment compile was itself warm (<60 s), assume the flow
-    # graph's cache entry is warm too and budget 90 s; on a cold cache,
-    # compiles through the tunneled backend take 2-20 min (CLAUDE.md), so
-    # require the full cold margin rather than a flat 240 s that the
-    # compile alone could blow past after the headline already printed.
+    # protocol tools/flow_quality_check.sh). Same network graph — only
+    # the scan wrapper differs.
     flow_cost = est_trial / steps  # one net call per image
-    flow_compile_margin = 90.0 if primary_compile_s < 60.0 else 1500.0
-    if (mesh is None and steps == STEPS
-            and budget_s - (time.time() - t_start)
-            > flow_compile_margin + flow_cost * 10):
+    flow_compile_margin = 60.0 if warm else 1500.0
+    remaining = budget_s - (time.time() - t_start)
+    if remaining <= flow_compile_margin + flow_cost * 10:
+        result["flow_euler1_skipped"] = f"budget ({remaining:.0f}s left)"
+    else:
         cfg_flow = Config()
         cfg_flow.diffusion.timestep_type = "flow"
         flow = build_diffusion(cfg_flow, model)
@@ -285,7 +314,25 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
         result["flow_euler1_seconds_median"] = round(fdt, 4)
         result["flow_euler1_trials"] = len(fts)
 
-    print(json.dumps(result))
+    # ---- tertiary headline: 32-step DDIM serving throughput (if budget)
+    ddim_cost = est_trial * (DDIM_STEPS / steps)
+    ddim_compile_margin = 90.0 if warm else 1500.0
+    remaining = budget_s - (time.time() - t_start)
+    if remaining <= ddim_compile_margin + ddim_cost * 3.5:
+        result["ddim32_skipped"] = f"budget ({remaining:.0f}s left)"
+    else:
+        seg_ddim = jit_seg("ddim")
+        ts32 = jnp.linspace(1.0, 0.0, DDIM_STEPS + 1, dtype=jnp.float32)
+        float(jnp.sum(chain(90, seg_ddim, ts32, DDIM_STEPS)))  # compile+warm
+        dts = []
+        for trial in range(2):
+            t0 = time.time()
+            float(jnp.sum(chain(91 + trial, seg_ddim, ts32, DDIM_STEPS)))
+            dts.append(time.time() - t0)
+        ddt = statistics.median(dts)
+        result["ddim32_img_per_s"] = round(batch / ddt, 4)
+        result["ddim32_seconds_median"] = round(ddt, 3)
+        result["ddim32_trials"] = len(dts)
 
 
 if __name__ == "__main__":

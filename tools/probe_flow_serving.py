@@ -49,6 +49,12 @@ def main(argv=None):
         "trims compile cost when only one point is needed",
     )
     p.add_argument(
+        "--latency_layout", action="store_true",
+        help="width-pair-merged level 1 (W2C, ops/w2c.py) — the measured "
+        "small-batch latency layout (+18%% on DDPM at b32; same parameter "
+        "tree, exact math). Pair with --batch 32.",
+    )
+    p.add_argument(
         "--ddpm_ms_per_img", type=float, default=None,
         help="measured 256-step DDPM per-image cost in ms (e.g. from the "
         "bench headline: 1000*batch/img_per_s/batch). When given, the "
@@ -71,7 +77,9 @@ def main(argv=None):
         h, w = args.resolution.split("x")
         cfg.data.resolution = (int(h), int(w))
     H, W = cfg.data.resolution
-    model = build_model(cfg, dtype=jnp.bfloat16)
+    model = build_model(
+        cfg, dtype=jnp.bfloat16, width_merge_l1=args.latency_layout
+    )
     variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, H, W, 2)), jnp.zeros((1,))
     )
@@ -116,6 +124,7 @@ def main(argv=None):
         img_s = args.batch / dt
         rec = {
             "case": f"{mode}-{steps}",
+            "layout": "W2C" if args.latency_layout else "NHWC",
             "net_calls": calls,
             "ms_per_image": round(1e3 * dt / args.batch, 4),
             "ms_per_image_call": round(1e3 * dt / (args.batch * calls), 4),

@@ -160,6 +160,152 @@ class GaussianDiffusion:
     def q_step_from_x_0(self, x_0, steps, noise):
         raise NotImplementedError
 
+    def q_step(self, x_s, step_t, step_s, noise):
+        """q(z_t | z_s), s < t (more noise at t) — RePaint re-noising hook."""
+        raise NotImplementedError
+
+    def _repaint_reverse_jumps(
+        self, variables, known, mask, x, step_t, step_s, key,
+        jump_length: int, model_kwargs,
+    ):
+        """One RePaint reverse pass t -> s with known-region blending —
+        process-specific hook (continuous.py / flow.py)."""
+        raise NotImplementedError
+
+    # RePaint drivers (arXiv 2201.09865; reference continuous_time.py:260-317)
+    # — generic over the :meth:`q_step` / :meth:`_repaint_reverse_jumps`
+    # hooks, so both the Gaussian processes and the rectified flow share the
+    # chunked/mesh serving plumbing (inference.py) unchanged. ---------------
+    def _repaint_forward_jumps(self, x, step_t, step_s, key, jump_length: int):
+        """s -> t re-noising (reference continuous_time.py:309-315)."""
+        interp = jnp.linspace(0.0, 1.0, jump_length + 1, dtype=jnp.float32)
+        r_steps = step_t + interp * (step_s - step_t)
+        for k in range(jump_length, 0, -1):
+            key, sub = split_key(key)
+            noise = normal(sub, x.shape)
+            x = self.q_step(x, r_steps[k - 1], r_steps[k], noise)
+        return x, key
+
+    def repaint_segment(
+        self,
+        variables,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        x_t: jnp.ndarray,
+        key: jnp.ndarray,
+        ts_pairs: jnp.ndarray,
+        num_resample_steps: int = 1,
+        jump_length: int = 1,
+        model_kwargs: Optional[dict] = None,
+    ) -> tuple:
+        """Advance the RePaint outer loop over ``ts_pairs`` ((K, 2) rows of
+        (t, s) boundary times); returns the advanced ``(x_t, key)`` carry.
+
+        Chaining segments over ``stack([ts[:-2], ts[1:-1]], 1)`` followed by
+        one :meth:`_repaint_reverse_jumps` final step reproduces
+        :meth:`repaint` EXACTLY (identical key-split sequence) — the
+        chunked-dispatch counterpart of ``sample_segment``, needed because a
+        T x r x j grid compiles to one multi-minute dispatch at
+        completion-scale batches (reference loop: continuous_time.py:260-317).
+        """
+        known = known.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
+
+        def resample_body(j, carry):
+            x_t, key, step_t, step_s = carry
+            x_s, key = self._repaint_reverse_jumps(
+                variables, known, mask, x_t, step_t, step_s, key,
+                jump_length, model_kwargs,
+            )
+            # re-noise unless this is the final resample of this step
+            is_last_resample = j == num_resample_steps - 1
+
+            def renoise(args):
+                x, key = args
+                return self._repaint_forward_jumps(
+                    x, step_t, step_s, key, jump_length
+                )
+
+            x_t, key = jax.lax.cond(
+                is_last_resample, lambda args: args, renoise, (x_s, key)
+            )
+            return (x_t, key, step_t, step_s)
+
+        def step_body(carry, ts_pair):
+            x_t, key = carry
+            x_t, key, _, _ = jax.lax.fori_loop(
+                0,
+                num_resample_steps,
+                resample_body,
+                (x_t, key, ts_pair[0], ts_pair[1]),
+            )
+            return (x_t, key), None
+
+        (x_t, key), _ = jax.lax.scan(step_body, (x_t, key), ts_pairs)
+        return x_t, key
+
+    def repaint_final(
+        self,
+        variables,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        x_t: jnp.ndarray,
+        key: jnp.ndarray,
+        step_t: jnp.ndarray,
+        step_s: jnp.ndarray,
+        jump_length: int = 1,
+        model_kwargs: Optional[dict] = None,
+    ) -> jnp.ndarray:
+        """The last RePaint step: one reverse pass, no re-noising (the
+        reference's early break, continuous_time.py:305-307)."""
+        x_s, _ = self._repaint_reverse_jumps(
+            variables, known.astype(jnp.float32), mask.astype(jnp.float32),
+            x_t, step_t, step_s, key, jump_length, model_kwargs,
+        )
+        return x_s
+
+    def repaint(
+        self,
+        variables,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        key: jnp.ndarray,
+        num_steps: int,
+        num_resample_steps: int = 1,
+        jump_length: int = 1,
+        model_kwargs: Optional[dict] = None,
+    ) -> jnp.ndarray:
+        """RePaint completion (arXiv 2201.09865), reference
+        continuous_time.py:260-317.
+
+        ``known``/``mask`` are NHWC; known pixels (mask=1) are projected onto
+        each intermediate noise level, unknown pixels follow the reverse
+        process; between resamples the state is re-noised forward. Scans over
+        the (num_steps-1) x num_resample_steps grid with the (static, small)
+        jump loops unrolled; the final step runs one resample only, matching
+        the reference's early-break (continuous_time.py:305-307).
+        """
+        assert num_resample_steps > 0 and jump_length > 0
+        key = as_typed_key(key)
+        batch_size = known.shape[0]
+        known = known.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
+        key, sub = split_key(key)
+        x_t = normal(sub, (batch_size, *self.sampling_shape))
+        ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+
+        if num_steps > 1:
+            ts_pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
+            x_t, key = self.repaint_segment(
+                variables, known, mask, x_t, key, ts_pairs,
+                num_resample_steps=num_resample_steps,
+                jump_length=jump_length, model_kwargs=model_kwargs,
+            )
+        return self.repaint_final(
+            variables, known, mask, x_t, key, ts[num_steps - 1], ts[num_steps],
+            jump_length=jump_length, model_kwargs=model_kwargs,
+        )
+
     # shared --------------------------------------------------------------
     def _clip(self, x_0: jnp.ndarray) -> jnp.ndarray:
         if self.clip_sample:

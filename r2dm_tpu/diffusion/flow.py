@@ -80,6 +80,49 @@ class RectifiedFlow(GaussianDiffusion):
         t = _b(jnp.atleast_1d(steps))
         return (1.0 - t) * x_0 + t * noise
 
+    def q_step(self, x_s, step_t, step_s, noise):
+        """Forward re-noising s -> t (s < t) preserving the straight-path
+        marginal — the RePaint jump-back hook (base.py drivers).
+
+        The flow path is the Gaussian interpolation with (alpha, sigma) =
+        (1 - t, t): writing x_s = (1-s) x_0 + s eps, scaling by
+        a = (1-t)/(1-s) keeps the signal at (1-t) x_0 while shrinking the
+        old noise to a*s; topping up with fresh noise of variance
+        t^2 - (a s)^2 (> 0 since a < 1 and t > s) restores the exact
+        marginal N((1-t) x_0, t^2 I) — same moment-matching as the Gaussian
+        q(z_t | z_s) (continuous.py q_step, reference
+        continuous_time.py:178-190) specialized to this path.
+        """
+        t = _b(jnp.atleast_1d(step_t)).astype(jnp.float32)
+        s = _b(jnp.atleast_1d(step_s)).astype(jnp.float32)
+        a = (1.0 - t) / (1.0 - s)
+        var = jnp.square(t) - jnp.square(a * s)
+        return x_s * a + jnp.sqrt(jnp.maximum(var, 0.0)) * noise
+
+    def _repaint_reverse_jumps(
+        self, variables, known, mask, x, step_t, step_s, key,
+        jump_length: int, model_kwargs,
+    ):
+        """t -> s through jump_length Euler sub-steps, blending known pixels
+        onto their path marginal at each sub-time — the flow counterpart of
+        the Gaussian reverse jumps (continuous.py, reference
+        continuous_time.py:283-303). The ODE step is deterministic, so only
+        the known-projection noise is drawn; the key-split structure (3-way
+        per sub-step) matches the Gaussian version, so a given key drives
+        the same known-noise sequence in both families."""
+        interp = jnp.linspace(0.0, 1.0, jump_length + 1, dtype=jnp.float32)
+        r_steps = step_t + interp * (step_s - step_t)  # (jump_length+1,)
+        for k in range(jump_length):
+            key, k_known, _ = split_key(key, 3)  # _: ODE draws no noise
+            known_noise = normal(k_known, known.shape)
+            known_s = self.q_step_from_x_0(known, r_steps[k + 1], known_noise)
+            unknown_s = self.ode_step(
+                variables, x, r_steps[k], r_steps[k + 1], mode="euler",
+                model_kwargs=model_kwargs,
+            )
+            x = mask * known_s + (1.0 - mask) * unknown_s
+        return x, key
+
     # sampling --------------------------------------------------------------
     def _velocity(self, variables, x, t, model_kwargs):
         cond = self.get_network_condition(

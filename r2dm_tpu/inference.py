@@ -513,13 +513,10 @@ class DDPM:
         on a (data, width) mesh the azimuth axis too (completion is the
         latency-sensitive interactive path).
         """
-        from .diffusion.flow import RectifiedFlow
-
-        if isinstance(self.diffusion, RectifiedFlow):
-            raise ValueError(
-                "repaint requires a Gaussian diffusion process (the RePaint "
-                "resampling loop re-noises; the flow ODE is deterministic)"
-            )
+        # Flow checkpoints repaint too: RectifiedFlow supplies the
+        # process-specific hooks (Euler reverse jumps + straight-path
+        # re-noising, flow.py) under the same base-class drivers, so the
+        # chunked/mesh plumbing below is family-agnostic.
         # batch-axis auto-chunking at the same measured HBM bound as
         # sample(): row-exact with key batches (row i draws from key i)
         hw = int(np.prod(self.sampling_shape[:-1]))

@@ -135,8 +135,68 @@ def test_ddpm_wrapper_flow_modes_and_chunking(flow_ddpm):
         ddpm.sample(batch_size=1, num_steps=2, mode="ddpm")
     with pytest.raises(ValueError, match="dpmpp_2m"):
         ddpm.sample(batch_size=1, num_steps=2, mode="dpmpp_2m")
-    with pytest.raises(ValueError, match="repaint"):
-        ddpm.repaint(jnp.zeros((1, 2, 16, 64)), jnp.ones((1, 2, 16, 64)), 2)
+
+
+def test_flow_repaint(flow_ddpm):
+    """Flow checkpoints complete (RePaint) too: the base-class drivers run
+    over RectifiedFlow's Euler reverse jumps + straight-path re-noising
+    (flow.py q_step/_repaint_reverse_jumps); same surface as the Gaussian
+    families (reference continuous_time.py:260-317, completion_demo.py:92-99).
+    """
+    cfg, model, variables, diffusion, DDPM = flow_ddpm
+    ddpm = DDPM(diffusion, variables, cfg)
+    known = jnp.zeros((1, 2, 16, 64)).at[:, :, :8].set(0.5)
+    mask = jnp.zeros((1, 2, 16, 64)).at[:, :, :8].set(1.0)
+    out = ddpm.repaint(
+        known, mask, num_steps=3, num_resample_steps=2, jump_length=2,
+        seeds=[7],
+    )
+    out = np.asarray(out)
+    assert out.shape == (1, 2, 16, 64)
+    assert np.isfinite(out).all()
+    # the final reverse sub-step blends at s=0 where the path marginal is
+    # the data itself ((1-0)*known + 0*eps) — known pixels come back exact
+    # up to one lerp rounding (XLA lowers m*k + (1-m)*u as u + m*(k-u),
+    # leaving ~eps*|u| ≈ 1e-7 residue even at m=1; measured max 7.2e-7)
+    np.testing.assert_allclose(
+        out[:, :, :8], np.asarray(known)[:, :, :8], rtol=0, atol=5e-6
+    )
+    # unknown region actually got painted (not left at init noise scale 0
+    # or copied from known)
+    assert np.abs(out[:, :, 8:]).mean() > 1e-4
+
+    # chunked-dispatch route (repaint_segment chaining + repaint_final)
+    # follows the same key-split sequence as the monolithic
+    # diffusion.repaint; the two are separate XLA programs, so the Euler
+    # update x + dt*v may round differently (FMA/lerp reassociation,
+    # measured max 7.2e-7 — the Gaussian counterpart in test_inference
+    # happens to land bit-exact). A key-sequence bug would diverge O(1).
+    ddpm2 = DDPM(diffusion, variables, cfg)
+    ddpm2.AUTO_CHUNK_WORK = 1  # force chunking
+    out2 = ddpm2.repaint(
+        known, mask, num_steps=3, num_resample_steps=2, jump_length=2,
+        seeds=[7], progress_chunk=2,
+    )
+    np.testing.assert_allclose(out, np.asarray(out2), rtol=0, atol=1e-5)
+
+
+def test_flow_q_step_preserves_path_marginal():
+    """flow.q_step's moment-matching claim, checked empirically: pushing
+    x_s = (1-s) x0 + s eps forward to t must land on N((1-t) x0, t^2 I)."""
+    stub = types.SimpleNamespace(apply=None, in_channels=1, resolution=(4, 4))
+    flow = RectifiedFlow(model=stub)
+    n = 200_000
+    x0 = 0.7
+    s, t = 0.3, 0.8
+    k1, k2 = jax.random.split(jax.random.key(0))
+    eps = jax.random.normal(k1, (n, 1, 1, 1), jnp.float32)
+    x_s = (1.0 - s) * x0 + s * eps
+    x_t = flow.q_step(
+        x_s, jnp.full((n,), t), jnp.full((n,), s),
+        jax.random.normal(k2, (n, 1, 1, 1), jnp.float32),
+    )
+    assert abs(float(jnp.mean(x_t)) - (1.0 - t) * x0) < 5e-3
+    assert abs(float(jnp.std(x_t)) - t) < 5e-3
 
 
 def test_flow_mode_rejected_on_gaussian(flow_ddpm):

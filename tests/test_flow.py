@@ -180,6 +180,32 @@ def test_flow_repaint(flow_ddpm):
     np.testing.assert_allclose(out, np.asarray(out2), rtol=0, atol=1e-5)
 
 
+def test_flow_repaint_mesh_parity(flow_ddpm):
+    """Flow repaint under (data,) and (data, width) serving meshes must
+    match the unsharded result — the mesh plumbing (inference.py
+    _mesh_shardings / _repaint_chunked) is family-agnostic, so this pins
+    the flow hooks against GSPMD halo handling too (cf. the Gaussian leg
+    in tests/test_inference.py::test_repaint_mesh_parity)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from r2dm_tpu.parallel import make_mesh
+
+    cfg, model, variables, diffusion, DDPM = flow_ddpm
+    known = jnp.zeros((2, 2, 16, 64)).at[:, :, :8].set(0.5)
+    mask = jnp.zeros((2, 2, 16, 64)).at[:, :, :8].set(1.0)
+    kwargs = dict(num_steps=4, num_resample_steps=2, jump_length=1,
+                  seeds=[5, 6])
+    ddpm = DDPM(diffusion, variables, cfg)
+    a = ddpm.repaint(known, mask, **kwargs)
+    for mesh in (make_mesh((2,)), make_mesh((2, 4))):
+        b = ddpm.repaint(known, mask, mesh=mesh, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, err_msg=str(mesh.shape)
+        )
+
+
 def test_flow_q_step_preserves_path_marginal():
     """flow.q_step's moment-matching claim, checked empirically: pushing
     x_s = (1-s) x0 + s eps forward to t must land on N((1-t) x0, t^2 I)."""

@@ -45,11 +45,18 @@ def main(argv=None):
         choices=["beams25", "beams50", "points10"],
         help="corruption pattern (completion_demo.py masks)",
     )
+    p.add_argument(
+        "--latency_layout", action="store_true",
+        help="width-pair-merged level 1 (W2C) — the measured small-batch "
+        "latency layout (see CLAUDE.md)",
+    )
     args = p.parse_args(argv)
 
     from r2dm_tpu.inference import setup_model
 
-    ddpm, lidar_utils, cfg = setup_model(args.ckpt)
+    ddpm, lidar_utils, cfg = setup_model(
+        args.ckpt, width_merge_l1=args.latency_layout
+    )
     H, W = cfg.data.resolution
     B = args.batch
 
@@ -92,6 +99,7 @@ def main(argv=None):
         dt = statistics.median(ts)
         rec = {
             "grid": grid,
+            "layout": "W2C" if args.latency_layout else "NHWC",
             "mask": args.mask,
             "batch": B,
             "resolution": f"{H}x{W}",

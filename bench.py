@@ -77,6 +77,47 @@ CHUNK = 32  # dispatch length: long single dispatches crash the tunnel worker
 MAX_TRIALS = 4
 DDIM_STEPS = 32
 
+# Secondary-headline budget model — SINGLE source of truth for both the
+# reservation in main()'s trial loop and the gates in _secondary_headlines
+# (a desync would reintroduce the trials-squeeze-the-secondaries failure).
+# Warm evidence, two independent signals (either suffices):
+#   1. the primary warmup (init + segment compile + first dispatch) measures
+#      ~70-90 s with a warm persistent cache and 300+ s cold — but backend
+#      contention can inflate a warm warmup past any threshold (observed:
+#      242 s warm), so this signal alone under-fires;
+#   2. a marker file written INSIDE the compile-cache dir after the last
+#      successful run of that secondary block on this host — direct
+#      evidence its XLA program is cached (wiping /tmp removes the cache
+#      AND the marker together, so the signals cannot desync that way).
+CACHE_DIR = "/tmp/r2dm_tpu_jax_cache"
+WARM_EVIDENCE_S = 120.0
+COLD_COMPILE_MARGIN_S = 1500.0  # cold compiles via the tunnel: 2-20 min
+FLOW_MARGIN_WARM_S = 60.0
+DDIM_MARGIN_WARM_S = 90.0
+FLOW_REPS = 8  # per timed trial
+FLOW_NET_CALLS = 1 + 2 * FLOW_REPS  # compile-warm call + 2 trials x reps
+DDIM_CHAIN_FACTOR = 3.5  # warm chain + 2 timed chains + dispatch slack
+
+
+def _warm_marker(kind: str, batch: int) -> str:
+    return os.path.join(CACHE_DIR, f".bench_warm_{kind}_b{batch}_s{STEPS}")
+
+
+def _warm_evidence(kind: str, batch: int, primary_compile_s: float) -> bool:
+    return (
+        primary_compile_s < WARM_EVIDENCE_S
+        or os.path.exists(_warm_marker(kind, batch))
+    )
+
+
+def _write_warm_marker(kind: str, batch: int) -> None:
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        with open(_warm_marker(kind, batch), "w") as f:
+            f.write(time.strftime("%Y-%m-%dT%H:%M:%S"))
+    except OSError:
+        pass  # marker is an optimization, never an error
+
 
 def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     if os.environ.get("R2DM_TPU_INT8"):
@@ -186,10 +227,17 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     # the driver bench line otherwise loses entirely (observed under the
     # default 460 s budget: 3 trials fit but squeezed both blocks out).
     secondary_reserve = 0.0
-    if mesh is None and steps == STEPS and primary_compile_s < 120.0:
+    if mesh is None and steps == STEPS:
         # warm cache (see _secondary_headlines): flow margin+cost, then ddim
-        secondary_reserve = 60.0 + (est_trial / steps) * 10
-        secondary_reserve += 90.0 + est_trial * (DDIM_STEPS / steps) * 3.5
+        if _warm_evidence("flow", batch, primary_compile_s):
+            secondary_reserve += (
+                FLOW_MARGIN_WARM_S + (est_trial / steps) * FLOW_NET_CALLS
+            )
+        if _warm_evidence("ddim", batch, primary_compile_s):
+            secondary_reserve += (
+                DDIM_MARGIN_WARM_S
+                + est_trial * (DDIM_STEPS / steps) * DDIM_CHAIN_FACTOR
+            )
     times = []
     sane = False
     for trial in range(MAX_TRIALS):
@@ -260,30 +308,33 @@ def _secondary_headlines(
     Ordering and gates: the flow key runs FIRST — it is the flagship
     beyond-reference serving headline and costs ~1/3 of the ddim block
     (one net call per image vs 3.5 32-step chains). Compile margins are
-    gated on EVIDENCE of a warm persistent cache: the primary warmup
-    (model.init + segment compile + first dispatch) measures ~70-90 s
-    when every XLA program is already cached on this host and 300+ s
-    cold, so < 120 s distinguishes the two regimes (< 60 s misread warm
-    runs as cold and skipped everything). On a cold cache a single
-    compile through the tunneled helper takes 2-20 min (an observed cold
-    ddim-segment compile took ~7 min and blew the budget AFTER a
-    cost-only gate had passed), so cold runs demand a 1500 s budget.
+    gated on EVIDENCE of a warm persistent cache (_warm_evidence): a fast
+    primary warmup (< 120 s) OR a marker file written inside the cache
+    dir by the last successful run of that block (the warmup signal alone
+    under-fires: backend contention inflated a warm warmup to 242 s and
+    skipped everything). On a cold cache a single compile through the
+    tunneled helper takes 2-20 min (an observed cold ddim-segment compile
+    took ~7 min and blew the budget AFTER a cost-only gate had passed),
+    so without warm evidence the blocks demand a 1500 s budget.
     """
     from r2dm_tpu import Config
     from r2dm_tpu.inference import build_diffusion
 
     if mesh is not None or steps != STEPS:
         return
-    warm = primary_compile_s < 120.0
 
     # ---- secondary headline: 1-step rectified-flow (euler) serving
     # throughput, the reflow few-step lane (diffusion/flow.py; quality
     # protocol tools/flow_quality_check.sh). Same network graph — only
     # the scan wrapper differs.
     flow_cost = est_trial / steps  # one net call per image
-    flow_compile_margin = 60.0 if warm else 1500.0
+    flow_compile_margin = (
+        FLOW_MARGIN_WARM_S
+        if _warm_evidence("flow", batch, primary_compile_s)
+        else COLD_COMPILE_MARGIN_S
+    )
     remaining = budget_s - (time.time() - t_start)
-    if remaining <= flow_compile_margin + flow_cost * 10:
+    if remaining <= flow_compile_margin + flow_cost * FLOW_NET_CALLS:
         result["flow_euler1_skipped"] = f"budget ({remaining:.0f}s left)"
     else:
         cfg_flow = Config()
@@ -294,31 +345,36 @@ def _secondary_headlines(
         )
         xf = fn1(variables, jax.random.key(70))
         float(jnp.sum(xf[0, 0, 0]))  # compile + first dispatch
-        # untimed sanity transfer, mirroring the primary trials: a NaN
-        # 1-step graph must not report a throughput headline
+        # untimed sanity transfer, mirroring the primary trials: a NaN or
+        # degenerate (all-constant) 1-step graph must not report a headline
         xfn = np.asarray(xf[:2], dtype=np.float32)
         assert np.isfinite(xfn).all(), "flow euler-1: non-finite samples"
+        assert xfn.std() > 0.1, "flow euler-1: degenerate samples"
         del xf, xfn
-        REPS = 8
         fts = []
         for trial in range(2):
             t0 = time.time()
             tot = jnp.zeros(())
-            for r in range(REPS):
-                x = fn1(variables, jax.random.key(71 + trial * REPS + r))
+            for r in range(FLOW_REPS):
+                x = fn1(variables, jax.random.key(71 + trial * FLOW_REPS + r))
                 tot = tot + jnp.sum(x[0, 0, 0])
             float(tot)
-            fts.append((time.time() - t0) / REPS)
+            fts.append((time.time() - t0) / FLOW_REPS)
         fdt = statistics.median(fts)
         result["flow_euler1_img_per_s"] = round(batch / fdt, 4)
         result["flow_euler1_seconds_median"] = round(fdt, 4)
         result["flow_euler1_trials"] = len(fts)
+        _write_warm_marker("flow", batch)
 
     # ---- tertiary headline: 32-step DDIM serving throughput (if budget)
     ddim_cost = est_trial * (DDIM_STEPS / steps)
-    ddim_compile_margin = 90.0 if warm else 1500.0
+    ddim_compile_margin = (
+        DDIM_MARGIN_WARM_S
+        if _warm_evidence("ddim", batch, primary_compile_s)
+        else COLD_COMPILE_MARGIN_S
+    )
     remaining = budget_s - (time.time() - t_start)
-    if remaining <= ddim_compile_margin + ddim_cost * 3.5:
+    if remaining <= ddim_compile_margin + ddim_cost * DDIM_CHAIN_FACTOR:
         result["ddim32_skipped"] = f"budget ({remaining:.0f}s left)"
     else:
         seg_ddim = jit_seg("ddim")
@@ -333,6 +389,7 @@ def _secondary_headlines(
         result["ddim32_img_per_s"] = round(batch / ddt, 4)
         result["ddim32_seconds_median"] = round(ddt, 3)
         result["ddim32_trials"] = len(dts)
+        _write_warm_marker("ddim", batch)
 
 
 if __name__ == "__main__":

@@ -168,7 +168,7 @@ if __name__ == "__main__":
         "--num_steps", type=int, default=32,
         help="RePaint outer steps (default mirrors the reference; flow "
         "checkpoints complete well at 8x4x1 — ~16x faster, measured "
-        "405 ms/scan at config-H b1, see quality/QUALITY.md)",
+        "253 ms/scan at config-H b1 bf16+W2C, see quality/QUALITY.md)",
     )
     parser.add_argument("--num_resample_steps", type=int, default=16)
     parser.add_argument("--jump_length", type=int, default=1)

@@ -516,7 +516,17 @@ class DDPM:
         # Flow checkpoints repaint too: RectifiedFlow supplies the
         # process-specific hooks (Euler reverse jumps + straight-path
         # re-noising, flow.py) under the same base-class drivers, so the
-        # chunked/mesh plumbing below is family-agnostic.
+        # chunked/mesh plumbing below is family-agnostic. The discrete-time
+        # family has no RePaint hooks — matching the reference, whose
+        # repaint lives in continuous_time.py:261 only — so fail it clearly
+        # here rather than with a bare NotImplementedError mid-jit-trace.
+        if isinstance(self.diffusion, DiscreteTimeGaussianDiffusion):
+            raise ValueError(
+                "repaint requires a continuous-time or flow checkpoint; the "
+                "discrete-time family does not implement the RePaint hooks "
+                "(reference parity: repaint exists in continuous_time.py "
+                "only)"
+            )
         # batch-axis auto-chunking at the same measured HBM bound as
         # sample(): row-exact with key batches (row i draws from key i)
         hw = int(np.prod(self.sampling_shape[:-1]))
@@ -549,9 +559,7 @@ class DDPM:
         # effective work in pixel*net-call units, comparable to sample()'s
         net_calls = num_steps * num_resample_steps * jump_length
         work = known.shape[0] * net_calls * int(np.prod(self.sampling_shape[:-1]))
-        chunked = (progress or work >= self.AUTO_CHUNK_WORK) and not isinstance(
-            self.diffusion, DiscreteTimeGaussianDiffusion
-        )
+        chunked = progress or work >= self.AUTO_CHUNK_WORK
         if chunked:
             x = self._repaint_chunked(
                 known, mask, num_steps, num_resample_steps, jump_length,

@@ -199,6 +199,24 @@ def test_repaint_chunked_bit_identical(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_repaint_discrete_clear_error(tiny_setup):
+    """Discrete-time checkpoints have no RePaint hooks (reference parity:
+    repaint lives in continuous_time.py only) — the wrapper must fail with
+    a clear ValueError, not a NotImplementedError mid-jit-trace."""
+    import dataclasses
+
+    cfg, model, variables = tiny_setup
+    dcfg = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(
+            cfg.diffusion, timestep_type="discrete", num_training_steps=16
+        )
+    )
+    ddpm_d = DDPM(build_diffusion(dcfg, model), variables, dcfg)
+    known = jnp.zeros((1, 2, 16, 64))
+    with pytest.raises(ValueError, match="continuous-time or flow"):
+        ddpm_d.repaint(known, jnp.ones_like(known), num_steps=4)
+
+
 def test_repaint_batch_chunking_row_exact(tiny_setup):
     """Repaint batch-axis chunking (same HBM bound as sample()) must be
     row-exact with per-sample seeds, including a broadcast (batch-1) mask."""

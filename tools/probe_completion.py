@@ -50,12 +50,19 @@ def main(argv=None):
         help="width-pair-merged level 1 (W2C) — the measured small-batch "
         "latency layout (see CLAUDE.md)",
     )
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 network compute — the serving fast path (generate.py "
+        "--bf16); diffusion/schedule math stays fp32 either way",
+    )
     args = p.parse_args(argv)
 
     from r2dm_tpu.inference import setup_model
 
     ddpm, lidar_utils, cfg = setup_model(
-        args.ckpt, width_merge_l1=args.latency_layout
+        args.ckpt,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        width_merge_l1=args.latency_layout,
     )
     H, W = cfg.data.resolution
     B = args.batch
@@ -100,6 +107,7 @@ def main(argv=None):
         rec = {
             "grid": grid,
             "layout": "W2C" if args.latency_layout else "NHWC",
+            "dtype": "bf16" if args.bf16 else "fp32",
             "mask": args.mask,
             "batch": B,
             "resolution": f"{H}x{W}",

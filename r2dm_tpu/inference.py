@@ -190,7 +190,13 @@ class DDPM:
 
     def _key(self, key, seeds, default_seed=0):
         if key is not None:
-            return key
+            # normalize IMMEDIATELY: downstream batch-chunking inspects
+            # is_key_batch (ndim==1), which would misread the documented
+            # raw uint32 (2,) key-data form as a batch of 2 per-sample keys
+            # and slice it to pieces
+            from .diffusion.base import as_typed_key
+
+            return as_typed_key(jnp.asarray(key))
         if seeds is not None:
             return key_batch_from_seeds(list(seeds))
         # no explicit randomness given: advance an internal stream so
@@ -270,12 +276,18 @@ class DDPM:
         # activations alone are ~8 MB/image — while per-image throughput is
         # flat beyond b256). Oversized serving batches run as sequential
         # sweet-spot-sized chunks instead of OOMing.
+        if batch_chunk is not None and batch_chunk < 1:
+            raise ValueError(f"batch_chunk must be >= 1, got {batch_chunk}")
+        # per-DEVICE pixels: the batch shards over 'data' and, on a
+        # (data, width) mesh, each image's azimuth axis shards over 'width'
         hw = int(np.prod(self.sampling_shape[:-1]))
         data_size = 1 if mesh is None else mesh.shape.get("data", 1)
+        width_size = 1 if mesh is None else mesh.shape.get("width", 1)
+        dev_hw = hw // max(width_size, 1)
         if (batch_chunk is None
-                and (batch_size // max(data_size, 1)) * hw
+                and (batch_size // max(data_size, 1)) * dev_hw
                 > self.MAX_BATCH_PIXELS):
-            batch_chunk = max(1, self.BATCH_CHUNK_PIXELS // hw) * data_size
+            batch_chunk = max(1, self.BATCH_CHUNK_PIXELS // dev_hw) * data_size
         if batch_chunk is not None and batch_chunk < batch_size:
             from .diffusion.base import is_key_batch
 
@@ -528,14 +540,17 @@ class DDPM:
                 "only)"
             )
         # batch-axis auto-chunking at the same measured HBM bound as
-        # sample(): row-exact with key batches (row i draws from key i)
+        # sample(): row-exact with key batches (row i draws from key i).
+        # Pixels counted per DEVICE (azimuth shards over 'width', cf. sample)
         hw = int(np.prod(self.sampling_shape[:-1]))
         data_size = 1 if mesh is None else mesh.shape.get("data", 1)
+        width_size = 1 if mesh is None else mesh.shape.get("width", 1)
+        dev_hw = hw // max(width_size, 1)
         bsz = int(known.shape[0])
-        if (bsz // max(data_size, 1)) * hw > self.MAX_BATCH_PIXELS:
+        if (bsz // max(data_size, 1)) * dev_hw > self.MAX_BATCH_PIXELS:
             from .diffusion.base import is_key_batch
 
-            batch_chunk = max(1, self.BATCH_CHUNK_PIXELS // hw) * data_size
+            batch_chunk = max(1, self.BATCH_CHUNK_PIXELS // dev_hw) * data_size
             key = self._key(key, seeds)
             outs = []
             done = 0

@@ -284,14 +284,31 @@ class DDPM:
         data_size = 1 if mesh is None else mesh.shape.get("data", 1)
         width_size = 1 if mesh is None else mesh.shape.get("width", 1)
         dev_hw = hw // max(width_size, 1)
+        auto_batch_chunked = False
         if (batch_chunk is None
                 and (batch_size // max(data_size, 1)) * dev_hw
                 > self.MAX_BATCH_PIXELS):
             batch_chunk = max(1, self.BATCH_CHUNK_PIXELS // dev_hw) * data_size
+            auto_batch_chunked = True
         if batch_chunk is not None and batch_chunk < batch_size:
             from .diffusion.base import is_key_batch
 
             key = self._key(key, seeds)
+            if auto_batch_chunked and not is_key_batch(key):
+                # With a single key, per-chunk keys come from fold_in, so the
+                # sample stream depends on WHERE the auto-chunk boundary
+                # falls (MAX_BATCH_PIXELS retunes or hardware changes move
+                # it). Per-sample `seeds=` are invariant to chunking; warn
+                # once per call site (advisor finding, round 4).
+                import warnings
+
+                warnings.warn(
+                    "batch auto-chunking with a single key: samples depend "
+                    "on the chunk boundary (a MAX_BATCH_PIXELS retune or "
+                    "different hardware changes them); pass seeds=[...] for "
+                    "chunking-invariant determinism",
+                    stacklevel=2,
+                )
             outs = []
             done = 0
             while done < batch_size:
@@ -538,6 +555,22 @@ class DDPM:
                 "discrete-time family does not implement the RePaint hooks "
                 "(reference parity: repaint exists in continuous_time.py "
                 "only)"
+            )
+        # Validate the mask layout up front: an unbatched (H,W,C) mask whose
+        # leading dim happens to equal the batch size would be silently
+        # sliced along H by the chunker, and a batch not in {1, bsz} would
+        # broadcast-fail only deep inside jit (advisor finding, round 4).
+        known = jnp.asarray(known)
+        mask = jnp.asarray(mask)
+        if mask.ndim != known.ndim:
+            raise ValueError(
+                f"mask must have the same rank as known (batched, "
+                f"{data_format}); got mask {mask.shape} vs known {known.shape}"
+            )
+        if mask.shape[0] not in (1, known.shape[0]):
+            raise ValueError(
+                f"mask batch dim must be 1 (broadcast) or match known's "
+                f"{known.shape[0]}; got {mask.shape[0]}"
             )
         # batch-axis auto-chunking at the same measured HBM bound as
         # sample(): row-exact with key batches (row i draws from key i).
@@ -802,23 +835,69 @@ def pretrained_r2dm(
 ) -> tuple[DDPM, LiDARUtility, config_lib.Config]:
     """The hub entry point (reference hubconf.py:21-37).
 
-    This environment has no network egress, so the released ``.pth`` must be
-    available locally: pass ``ckpt_path`` or set ``$R2DM_CKPT_DIR`` holding
-    ``<config>.pth`` files. ``width_merge_l1`` enables the small-batch
-    latency layout (see build_model); ``dtype=jnp.bfloat16`` the TPU compute
-    policy.
+    Resolution order for ``config`` (reference hubconf.py:17-18,34-35 uses
+    ``load_state_dict_from_url``): an explicit ``ckpt_path`` wins; else
+    ``$R2DM_CKPT_DIR/<config>.pth``; else a cached download of the release
+    URL into ``$R2DM_CACHE_DIR`` (default ``~/.cache/r2dm_tpu``). Under zero
+    egress the download step degrades to an actionable error.
+    ``width_merge_l1`` enables the small-batch latency layout (see
+    build_model); ``dtype=jnp.bfloat16`` the TPU compute policy.
     """
     if ckpt_path is None:
-        ckpt_dir = os.environ.get("R2DM_CKPT_DIR", "")
-        candidate = os.path.join(ckpt_dir, f"{config}.pth")
-        if ckpt_dir and os.path.exists(candidate):
-            ckpt_path = candidate
-        else:
-            raise FileNotFoundError(
-                f"checkpoint for '{config}' not found; download "
-                f"https://github.com/kazuto1011/r2dm/releases (weights_{config.replace('-', '_')}.pth) "
-                "and pass ckpt_path= or set $R2DM_CKPT_DIR"
-            )
+        ckpt_path = resolve_pretrained_ckpt(config)
     return setup_model(
         ckpt_path, ema=ema, dtype=dtype, width_merge_l1=width_merge_l1
     )
+
+
+# Release URL scheme (reference hubconf.py:17-18). $R2DM_WEIGHTS_URL_BASE
+# overrides the base for mirrors/tests (file:// URLs work).
+_R2DM_WEIGHTS_URL_BASE = (
+    "https://github.com/kazuto1011/r2dm/releases/download/weights"
+)
+
+
+def resolve_pretrained_ckpt(config: str, progress: bool = True) -> str:
+    """Resolve a config name to a local ``.pth`` path (download if needed).
+
+    The torch.hub-equivalent of the reference's by-name weight resolution
+    (hubconf.py:34-35): look in ``$R2DM_CKPT_DIR``, then in the download
+    cache, then fetch ``<base>/<config>.pth`` atomically into the cache.
+    Raises ``FileNotFoundError`` with both remedies when the file is absent
+    and the fetch fails (e.g. zero egress).
+    """
+    ckpt_dir = os.environ.get("R2DM_CKPT_DIR", "")
+    if ckpt_dir:
+        candidate = os.path.join(ckpt_dir, f"{config}.pth")
+        if os.path.exists(candidate):
+            return candidate
+    cache_dir = os.environ.get(
+        "R2DM_CACHE_DIR", os.path.expanduser("~/.cache/r2dm_tpu")
+    )
+    cached = os.path.join(cache_dir, "checkpoints", f"{config}.pth")
+    if os.path.exists(cached):
+        return cached
+    base = os.environ.get("R2DM_WEIGHTS_URL_BASE", _R2DM_WEIGHTS_URL_BASE)
+    url = f"{base}/{config}.pth"
+    import urllib.error
+    import urllib.request
+
+    os.makedirs(os.path.dirname(cached), exist_ok=True)
+    tmp = cached + ".tmp"
+    try:
+        if progress:
+            print(f"downloading {url} -> {cached}")
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, cached)  # atomic: no torn file on interrupt
+        return cached
+    except (urllib.error.URLError, OSError, ValueError) as e:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise FileNotFoundError(
+            f"checkpoint for '{config}' not found locally and the download "
+            f"from {url} failed ({e}); download it manually from "
+            "https://github.com/kazuto1011/r2dm/releases and pass "
+            "ckpt_path= or set $R2DM_CKPT_DIR"
+        ) from e

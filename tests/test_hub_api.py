@@ -29,6 +29,48 @@ def test_pretrained_r2dm_missing_ckpt_message():
         pretrained_r2dm()
 
 
+def test_resolve_pretrained_ckpt_file_url(tmp_path, monkeypatch):
+    """By-name weight resolution (reference hubconf.py:17-18,34-35): fetch
+    <base>/<config>.pth into the cache atomically, then hit the cache."""
+    from r2dm_tpu.inference import resolve_pretrained_ckpt
+
+    release = tmp_path / "release"
+    release.mkdir()
+    (release / "r2dm-test.pth").write_bytes(b"fake-weights")
+    monkeypatch.setenv("R2DM_WEIGHTS_URL_BASE", release.as_uri())
+    monkeypatch.setenv("R2DM_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.delenv("R2DM_CKPT_DIR", raising=False)
+
+    path = resolve_pretrained_ckpt("r2dm-test", progress=False)
+    assert open(path, "rb").read() == b"fake-weights"
+    assert str(tmp_path / "cache") in path
+
+    # cache hit: resolving again must not re-download (source removed)
+    (release / "r2dm-test.pth").unlink()
+    assert resolve_pretrained_ckpt("r2dm-test", progress=False) == path
+
+    # $R2DM_CKPT_DIR wins over the cache
+    local = tmp_path / "local"
+    local.mkdir()
+    (local / "r2dm-test.pth").write_bytes(b"local-weights")
+    monkeypatch.setenv("R2DM_CKPT_DIR", str(local))
+    assert open(resolve_pretrained_ckpt("r2dm-test"), "rb").read() == b"local-weights"
+
+
+def test_resolve_pretrained_ckpt_no_egress_error(tmp_path, monkeypatch):
+    """A failed fetch degrades to an actionable error naming both remedies."""
+    from r2dm_tpu.inference import resolve_pretrained_ckpt
+
+    monkeypatch.setenv(
+        "R2DM_WEIGHTS_URL_BASE", (tmp_path / "missing").as_uri()
+    )
+    monkeypatch.setenv("R2DM_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.delenv("R2DM_CKPT_DIR", raising=False)
+    with pytest.raises(FileNotFoundError, match="R2DM_CKPT_DIR"):
+        resolve_pretrained_ckpt("r2dm-test", progress=False)
+    assert not (tmp_path / "cache" / "checkpoints" / "r2dm-test.pth.tmp").exists()
+
+
 def test_setup_rng_alias():
     from r2dm_tpu.inference import setup_rng
 

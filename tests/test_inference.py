@@ -217,6 +217,19 @@ def test_repaint_discrete_clear_error(tiny_setup):
         ddpm_d.repaint(known, jnp.ones_like(known), num_steps=4)
 
 
+def test_repaint_mask_validation(tiny_setup):
+    """Malformed masks must fail up front with actionable errors, not
+    broadcast-fail inside jit or get mis-sliced by the batch chunker
+    (advisor finding, round 4)."""
+    cfg, model, variables = tiny_setup
+    ddpm = DDPM(build_diffusion(cfg, model), variables, cfg)
+    known = jnp.zeros((2, 2, 16, 64))
+    with pytest.raises(ValueError, match="same rank"):
+        ddpm.repaint(known, jnp.ones((2, 16, 64)), num_steps=2)
+    with pytest.raises(ValueError, match="batch dim"):
+        ddpm.repaint(known, jnp.ones((3, 2, 16, 64)), num_steps=2)
+
+
 def test_repaint_batch_chunking_row_exact(tiny_setup):
     """Repaint batch-axis chunking (same HBM bound as sample()) must be
     row-exact with per-sample seeds, including a broadcast (batch-1) mask."""

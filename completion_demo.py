@@ -22,8 +22,28 @@ from r2dm_tpu.inference import setup_model
 from r2dm_tpu.metrics.extractor import rangenet as rn
 
 
+def apply_few_step_preset(args):
+    """--few_step: the measured 253 ms/scan interactive config at config-H/b1
+    (flow checkpoint, 8x4x1 RePaint grid, bf16 serving dtype, W2C latency
+    layout — quality/probe_completion_20260819_flow_b1.jsonl). Only fills
+    values the user left at their CLI defaults."""
+    if args.num_steps == 32:
+        args.num_steps = 8
+    if args.num_resample_steps == 16:
+        args.num_resample_steps = 4
+    args.bf16 = True
+    args.latency_layout = True
+    return args
+
+
 def main(args):
-    ddpm, lidar_utils, cfg = setup_model(args.ckpt)
+    if getattr(args, "few_step", False):
+        apply_few_step_preset(args)
+    ddpm, lidar_utils, cfg = setup_model(
+        args.ckpt,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+        width_merge_l1=getattr(args, "latency_layout", False),
+    )
     lidar_utils.data_format = "NHWC"
     H, W = cfg.data.resolution
 
@@ -172,6 +192,21 @@ if __name__ == "__main__":
     )
     parser.add_argument("--num_resample_steps", type=int, default=16)
     parser.add_argument("--jump_length", type=int, default=1)
+    parser.add_argument(
+        "--few_step", action="store_true",
+        help="interactive preset: 8x4x1 RePaint grid + --bf16 "
+        "--latency_layout (the measured 253 ms/scan config at config-H "
+        "b1 on a flow checkpoint; ~16x fewer net calls than the reference "
+        "default 32x16x1 grid, completion_demo.py:92-99)",
+    )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 network compute (TPU fast path; schedule math stays fp32)",
+    )
+    parser.add_argument(
+        "--latency_layout", action="store_true",
+        help="W2C width-pair-merged level-1 layout (small-batch latency lane)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sample_id", type=int, default=-1)
     parser.add_argument("--rangenet_tar", type=str, default=None)

@@ -8,6 +8,24 @@ from pathlib import Path
 import pytest
 
 
+def test_few_step_preset():
+    """--few_step fills the measured interactive config (8x4x1 + bf16 + W2C)
+    without clobbering explicit user overrides (VERDICT r4 item 3)."""
+    sys.path.insert(0, "/root/repo")
+    from completion_demo import apply_few_step_preset
+
+    a = apply_few_step_preset(
+        argparse.Namespace(num_steps=32, num_resample_steps=16, jump_length=1)
+    )
+    assert (a.num_steps, a.num_resample_steps, a.jump_length) == (8, 4, 1)
+    assert a.bf16 and a.latency_layout
+
+    b = apply_few_step_preset(
+        argparse.Namespace(num_steps=16, num_resample_steps=2, jump_length=1)
+    )
+    assert (b.num_steps, b.num_resample_steps) == (16, 2)
+
+
 @pytest.mark.slow
 def test_completion_demo_cli(tmp_path, monkeypatch):
     sys.path.insert(0, "/root/repo")

@@ -156,11 +156,12 @@ def main(mesh_devices="", batch_per_dev: int = BATCH, steps: int = STEPS):
     # Budget: self-imposed wall-clock target. The driver invokes plain
     # `python bench.py` with no env and demonstrably tolerates >=22 min
     # (BENCH_r04 ran 1317+ s and was recorded rc=0), so the default is
-    # sized for the full evidence set on a WARM cache — init+warmup ~80 s
-    # + 3 primary trials (3x118 s) + flow (~70 s) + ddim (~145 s) ~= 650 s
-    # — while still degrading to 2 trials + skip-reasons under backend
-    # contention (observed: warm-cache warmup inflated to ~370 s).
-    budget_s = float(os.environ.get("R2DM_BENCH_BUDGET_S", "700"))
+    # sized for the full evidence set on a WARM cache — init+warmup
+    # ~290 s (warm-cache segment warmup measured 211 s on 2026-08-19;
+    # the old 70-90 s band no longer holds) + 3 primary trials (3x118 s)
+    # + flow (~70 s) + ddim (~145 s) ~= 860 s — while still degrading to
+    # fewer trials + skip-reasons under backend contention.
+    budget_s = float(os.environ.get("R2DM_BENCH_BUDGET_S", "900"))
     t_start = time.time()
     # persistent compile cache: warm re-runs skip the XLA compile
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)

@@ -29,6 +29,11 @@ N=${2:-64}
 mkdir -p "$WORK"
 
 if [ "${R2DM_FLOWQ_SMOKE:-}" = "1" ]; then
+  # smoke mode is a CPU verification of the SCRIPT; pin the host platform
+  # (this box's sitecustomize otherwise dials the real TPU, where tiny-graph
+  # compiles via the tunnel take minutes each and waste a device window)
+  export JAX_PLATFORMS=cpu
+  unset PALLAS_AXON_POOL_IPS PALLAS_AXON_REMOTE_COMPILE
   TRAIN_STEPS=60; TRAIN_BATCH=8; SAMPLE_BATCH=8
   REFLOW_ARGS="--num_pairs 64 --teacher_steps 8 --batch_size 8 --train_steps 30"
   SMALL_ARGS="--data.projection spherical-256 --data.resolution 16,128 \
@@ -97,13 +102,24 @@ sample_eval "$WORK/ckpt/checkpoint.msgpack" teacher_euler1 1
 sample_eval "$WORK/reflowed.msgpack" reflow_euler2 2
 sample_eval "$WORK/reflowed.msgpack" reflow_euler1 1
 
-python - "$WORK" <<'EOF'
-import json, sys, glob
-work = sys.argv[1]
+python - "$WORK" "$N" <<'EOF'
+import json, sys, glob, os
+work, n_expected = sys.argv[1], int(sys.argv[2])
 def newest(tag):
+    # pick the latest eval JSON, then VERIFY it matches the sample dir's
+    # current meta.json (n) — settings drift between runs must fail loudly,
+    # not silently feed a stale row into the table (VERDICT r4 item 7)
+    meta = json.load(open(f"{work}/samples_{tag}/meta.json"))
+    assert meta["n"] == n_expected, (tag, meta, n_expected)
     files = sorted(glob.glob(f"{work}/samples_{tag}_*.json"))
     assert files, f"no eval json for {tag}"
-    return json.load(open(files[-1]))
+    newer = [f for f in files
+             if os.path.getmtime(f) >= os.path.getmtime(f"{work}/samples_{tag}/meta.json")]
+    assert newer, f"eval jsons for {tag} all predate its meta.json (stale)"
+    ev = json.load(open(newer[-1]))
+    got = ev.get("info", {}).get("#fake")
+    assert got == meta["n"], f"{tag}: eval ran on {got} samples, meta says {meta['n']}"
+    return ev
 tags = ["teacher_euler32", "teacher_euler2", "teacher_euler1",
         "reflow_euler2", "reflow_euler1"]
 evals = {t: newest(t) for t in tags}

@@ -145,8 +145,13 @@ def main(args):
         f"{_ident(args.rangenet_tar, 'randomRN')}-"
         f"{_ident(args.pointnet_ckpt, 'randomPN')}"
     )
+    ds_tag = cfg.data.dataset
+    if ds_tag == "synthetic" and os.environ.get("R2DM_SYNTH_SCANS", "64") != "64":
+        # non-default synthetic sizes get their own real-set cache — the
+        # default-named pkl holds 64-scan features and must not be reused
+        ds_tag += f"-{int(os.environ['R2DM_SYNTH_SCANS'])}"
     cache = Path(
-        f"real_set_{cfg.data.dataset}_{cfg.data.projection}_{H}x{W}_"
+        f"real_set_{ds_tag}_{cfg.data.projection}_{H}x{W}_"
         f"{args.dataset}_{ext_tag}.pkl"
     )
     if cache.exists():

@@ -251,5 +251,10 @@ def make_dataset(
     if dataset == "kitti_raw":
         return KITTIRaw(root, split=split, projection=projection, cache_dir=cache_dir)
     if dataset == "synthetic":
-        return SyntheticLiDAR(projection=projection)
+        # R2DM_SYNTH_SCANS widens the procedural dataset past the 64-scan
+        # default (64 scans x batch 32 = 2 steps/epoch: long quality runs
+        # would measure memorization, not convergence). evaluate.py keys its
+        # real-set cache on this value, so train and eval must agree.
+        num_scans = int(os.environ.get("R2DM_SYNTH_SCANS", "64"))
+        return SyntheticLiDAR(num_scans=num_scans, projection=projection)
     raise ValueError(f"unknown dataset: {dataset}")

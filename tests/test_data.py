@@ -80,6 +80,24 @@ def test_synthetic_dataset_rows():
     np.testing.assert_array_equal(row["depth"], row2["depth"])
 
 
+def test_synthetic_scans_env_knob(monkeypatch):
+    # R2DM_SYNTH_SCANS widens the procedural dataset for long quality runs
+    # (datasets.make_dataset); default stays 64
+    from r2dm_tpu.data.datasets import make_dataset
+
+    assert len(make_dataset("synthetic", None, "all", "spherical-256")) == 64
+    monkeypatch.setenv("R2DM_SYNTH_SCANS", "7")
+    ds = make_dataset("synthetic", None, "all", "spherical-256")
+    assert len(ds) == 7
+    # scan 5 must be the SAME scan at any dataset size (per-index
+    # determinism ⇒ a widened set is a superset of the default 64)
+    monkeypatch.setenv("R2DM_SYNTH_SCANS", "64")
+    np.testing.assert_array_equal(
+        ds.planes(5),
+        make_dataset("synthetic", None, "all", "spherical-256").planes(5),
+    )
+
+
 def test_loader_sharding_and_preprocess():
     ds = SyntheticLiDAR(num_scans=16, projection="spherical-256")
     # two "hosts" must see disjoint halves of the same global batch

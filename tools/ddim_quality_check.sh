@@ -21,6 +21,10 @@
 # before a device window is spent on it (mirrors flow_quality_check.sh).
 # R2DM_QUALITY_TRAIN_STEPS overrides the 600-step default (use a FRESH
 # workdir — the .train_done gate keys on the directory, not the count).
+# R2DM_QUALITY_TRAIN_ARGS appends raw train.py flags (e.g.
+# "--training.lr_warmup_steps 1000": the config default is the reference's
+# 10k-step warmup, which a short run never exits — the LR would stay in the
+# ramp and the checkpoint would under-train at any step count).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/r2dm_ddim_quality}
@@ -52,7 +56,7 @@ if [ ! -f "$WORK/ckpt/.train_done" ]; then
     --training.batch_size_train "$TRAIN_BATCH" \
     --training.steps_save_model "$TRAIN_STEPS" \
     --training.steps_save_image 1000000 \
-    $SMALL_ARGS \
+    $SMALL_ARGS ${R2DM_QUALITY_TRAIN_ARGS:-} \
     --training.output_dir "$WORK/ckpt"
   # train.py exits 0 on preemption BY DESIGN (pod-maintenance semantics),
   # so verify the checkpoint actually reached the final step before

@@ -46,6 +46,10 @@ else
   # checkpoints; longer synthetic runs are the strongest evidence this
   # zero-egress box allows). Use a FRESH workdir when changing it — the
   # .train_done gate keys on the directory, not the step count.
+  # R2DM_QUALITY_TRAIN_ARGS appends raw train.py flags (e.g.
+  # "--training.lr_warmup_steps 1000": the config default is the reference's
+  # 10k-step warmup, which a short run never exits — the LR would stay in
+  # the ramp and the checkpoint would under-train at any step count).
   TRAIN_STEPS=${R2DM_QUALITY_TRAIN_STEPS:-600}; TRAIN_BATCH=32; SAMPLE_BATCH=64
   REFLOW_ARGS="--num_pairs 1024 --teacher_steps 32 --batch_size 32 \
     --train_steps ${R2DM_QUALITY_REFLOW_STEPS:-1000}"
@@ -61,7 +65,7 @@ if [ ! -f "$WORK/ckpt/.train_done" ]; then
     --training.batch_size_train "$TRAIN_BATCH" \
     --training.steps_save_model "$TRAIN_STEPS" \
     --training.steps_save_image 1000000 \
-    $SMALL_ARGS \
+    $SMALL_ARGS ${R2DM_QUALITY_TRAIN_ARGS:-} \
     --training.output_dir "$WORK/ckpt"
   # train.py exits 0 on preemption BY DESIGN (pod-maintenance semantics),
   # so verify the checkpoint actually reached the final step before

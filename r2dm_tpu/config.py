@@ -77,6 +77,16 @@ class TrainingConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on "data"
     resume: Optional[str] = None  # checkpoint dir to resume from
     profile_dir: Optional[str] = None  # capture a JAX device trace of steps 10-15
+    # Host-RSS watchdog: at the 50-step logging boundary, if this process'
+    # resident set exceeds this many GB, write the resumable checkpoint and
+    # restart — single-host CLI runs re-exec themselves with
+    # --training.resume (training continues unattended); multi-host runs
+    # exit 0 through the preemption path for the scheduler to restart.
+    # Motivated by measured host-side retention of h2d staging buffers in
+    # some tunneled TPU runtimes: ~every transferred byte leaks, so a
+    # b32 64x1024 run leaks ~21 MB/step and OOM-kills a 125 GB host near
+    # step 6k (train.py _host_rss_gb). None disables.
+    max_host_rss_gb: Optional[float] = 96.0
     # run the outermost U-Net level width-pair-merged (ops/w2c.py) during
     # training: exact math, identical parameter tree/checkpoints, measured
     # +36% training throughput at batch 32 on the v5e round 2 and +46% over

@@ -40,6 +40,12 @@ class MetricLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
 
+    def flush(self) -> None:
+        """Drain buffered sinks (the JSONL is per-call append already);
+        called before the host-RSS watchdog re-execs the process."""
+        if self._tb is not None:
+            self._tb.flush()
+
 
 def _save_png(path: str, array: np.ndarray) -> None:
     """(H, W, 3) uint8 -> PNG via matplotlib (no extra deps)."""

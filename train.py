@@ -20,6 +20,7 @@ import json
 import os
 import queue
 import signal
+import sys
 import threading
 import time
 
@@ -61,6 +62,38 @@ def _setup_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+
+
+def _host_rss_gb() -> float:
+    """Current resident set of this process in GB (0.0 if unreadable).
+
+    /proc/self/statm field 1 is resident pages; resource.getrusage only
+    exposes the high-water mark, which cannot distinguish a leak from a
+    settled pool."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _restart_self(ckpt_path: str) -> None:
+    """Re-exec the training CLI with ``--training.resume`` (RSS watchdog).
+
+    Some tunneled TPU runtimes retain the host staging buffer of every
+    host->device transfer (measured: 16.5 MB resident per 16.8 MB batch
+    transferred, with zero live JAX arrays and gc ineffective), so any
+    long run eventually OOMs the host. A fresh process resets the
+    retention; the resumable checkpoint makes the restart seamless."""
+    argv = [a for a in sys.argv[1:] if not a.startswith("--training.resume=")]
+    if "--training.resume" in argv:
+        argv[argv.index("--training.resume") + 1] = ckpt_path
+    else:
+        argv += ["--training.resume", ckpt_path]
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, sys.argv[0]] + argv)
 
 
 def _device_batch_iter(loader, mesh, keys, prefetch: int = 2):
@@ -317,6 +350,18 @@ def train(cfg: config_lib.Config) -> None:
             stop = consensus_any(stop)
         return stop
 
+    def write_checkpoint(state, step: int) -> str:
+        path = os.path.join(out_dir, "checkpoint.msgpack")
+        save_checkpoint(
+            path,
+            config_lib.asdict(cfg),
+            {"params": state.params, "buffers": state.buffers},
+            ema_weights={"params": state.ema_params, "buffers": state.buffers},
+            opt_state=jax.tree.map(np.asarray, state.opt_state),
+            step=step,
+        )  # cf. train.py:291-304 (+ resume support)
+        return path
+
     # ------------------------------------------------------------ hot loop
     t0 = time.time()
     global_step = start_step
@@ -348,6 +393,39 @@ def train(cfg: config_lib.Config) -> None:
                 )
                 logger.log(global_step, m)  # cf. train.py:273-277
 
+                # Host-RSS watchdog (see _restart_self): checkpoint and
+                # restart before the leaked h2d staging OOM-kills the run.
+                # The >=50-steps-since-start guard guarantees forward
+                # progress per exec even when the baseline RSS alone
+                # exceeds the limit.
+                rss_limit = tcfg.max_host_rss_gb
+                if (
+                    rss_limit
+                    and global_step - start_step >= 50
+                    and _host_rss_gb() > rss_limit
+                ):
+                    path = os.path.join(out_dir, "checkpoint.msgpack")
+                    if is_main:
+                        write_checkpoint(state, global_step)
+                    if jax.process_count() == 1 and os.path.basename(
+                        sys.argv[0]
+                    ).startswith("train"):
+                        print(
+                            f"host RSS {_host_rss_gb():.1f} GB > "
+                            f"{rss_limit} GB at step {global_step}: "
+                            "restarting the process with --training.resume "
+                            "(h2d staging retention, see "
+                            "training.max_host_rss_gb)",
+                            flush=True,
+                        )
+                        logger.flush()
+                        data_iter.close()
+                        _restart_self(path)
+                    # programmatic or multi-host callers: stop through the
+                    # preemption consensus (checkpoint above already
+                    # written; multi-host peers write their own is_main=no-op)
+                    preempted["signal"] = preempted["signal"] or "host-rss"
+
             if global_step % tcfg.steps_save_image == 0 and is_main:
                 ema_vars = {"params": state.ema_params, "buffers": state.buffers}
                 key = jax.random.fold_in(jax.random.key(9), global_step)
@@ -357,24 +435,10 @@ def train(cfg: config_lib.Config) -> None:
                 )  # cf. train.py:282-289, 220-245
 
             if global_step % tcfg.steps_save_model == 0 and is_main:
-                save_checkpoint(
-                    os.path.join(out_dir, "checkpoint.msgpack"),
-                    config_lib.asdict(cfg),
-                    {"params": state.params, "buffers": state.buffers},
-                    ema_weights={"params": state.ema_params, "buffers": state.buffers},
-                    opt_state=jax.tree.map(np.asarray, state.opt_state),
-                    step=global_step,
-                )  # cf. train.py:291-304 (+ resume support)
+                write_checkpoint(state, global_step)
 
         if is_main:
-            save_checkpoint(
-                os.path.join(out_dir, "checkpoint.msgpack"),
-                config_lib.asdict(cfg),
-                {"params": state.params, "buffers": state.buffers},
-                ema_weights={"params": state.ema_params, "buffers": state.buffers},
-                opt_state=jax.tree.map(np.asarray, state.opt_state),
-                step=global_step,
-            )
+            write_checkpoint(state, global_step)
             if preempted["signal"] is not None:
                 print(
                     f"preempted at step {global_step} (signal "

@@ -9,7 +9,9 @@
 #
 # Caching is validated, not filename-based: the trained checkpoint counts
 # only with a .train_done marker (a preemption checkpoint from an aborted
-# run must NOT be reused — this bit a round-4 run); a sample dir counts
+# run is never used AS-IS — it bit a round-4 run — but one matching the
+# requested num_steps target is resumed rather than retrained); a sample
+# dir counts
 # only when its meta.json matches the requested N/steps/mode; evaluate is
 # skipped when an eval JSON newer than the sample dir's meta exists.
 #
@@ -49,14 +51,35 @@ else
 fi
 
 if [ ! -f "$WORK/ckpt/.train_done" ]; then
-  rm -rf "$WORK/ckpt"  # drop partial/preempted checkpoints
+  # A preempted run (SIGTERM/RSS-watchdog/backend outage) leaves a RESUMABLE
+  # checkpoint — continue it instead of retraining from scratch, but only if
+  # it was trained toward the same step target (the cosine LR schedule keys
+  # on num_steps; a mismatched resume would silently train on the wrong
+  # ramp). Anything else is dropped and retrained.
+  RESUME_ARGS=""
+  if [ -f "$WORK/ckpt/checkpoint.msgpack" ] && \
+     python - "$WORK" "$TRAIN_STEPS" <<'PYEOF'
+import json, sys
+work, target = sys.argv[1], int(sys.argv[2])
+try:
+    cfg = json.load(open(f"{work}/ckpt/training_config.json"))
+    sys.exit(0 if cfg["training"]["num_steps"] == target else 1)
+except Exception:
+    sys.exit(1)
+PYEOF
+  then
+    RESUME_ARGS="--training.resume $WORK/ckpt/checkpoint.msgpack"
+    echo "resuming preempted training from $WORK/ckpt/checkpoint.msgpack"
+  else
+    rm -rf "$WORK/ckpt"  # no (usable) prior checkpoint: fresh run
+  fi
   python train.py \
     --data.dataset synthetic \
     --training.num_steps "$TRAIN_STEPS" \
     --training.batch_size_train "$TRAIN_BATCH" \
     --training.steps_save_model "$TRAIN_STEPS" \
     --training.steps_save_image 1000000 \
-    $SMALL_ARGS ${R2DM_QUALITY_TRAIN_ARGS:-} \
+    $SMALL_ARGS ${R2DM_QUALITY_TRAIN_ARGS:-} $RESUME_ARGS \
     --training.output_dir "$WORK/ckpt"
   # train.py exits 0 on preemption BY DESIGN (pod-maintenance semantics),
   # so verify the checkpoint actually reached the final step before
@@ -68,6 +91,14 @@ step = load_checkpoint('$WORK/ckpt/checkpoint.msgpack')['global_step']
 sys.exit(0 if step >= $TRAIN_STEPS else 1)
 " || { echo "checkpoint preempted before step $TRAIN_STEPS; rerun to retrain" >&2; exit 1; }
   touch "$WORK/ckpt/.train_done"
+fi
+
+# R2DM_QUALITY_TRAIN_ONLY=1 stops after the train gate: pre-train (or finish
+# a preempted) checkpoint in one device window, run the eval legs later.
+# Also what the CI test of the resume gate hooks (tests/test_quality_scripts.py).
+if [ "${R2DM_QUALITY_TRAIN_ONLY:-}" = "1" ]; then
+  echo "train gate done (R2DM_QUALITY_TRAIN_ONLY=1): $WORK/ckpt"
+  exit 0
 fi
 
 IFS='|' read -ra SPEC_LIST <<< "$SPECS"
